@@ -1,0 +1,146 @@
+"""Scene-loading tests: every reference data/ scene (both JSON format
+generations, see src/Serialize.cpp:199-360 and SURVEY.md §2.8) must compile to
+a flattened SoA scene with sane invariants."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from raytrace2_tpu import defs
+from raytrace2_tpu.scene import loader
+
+ALL_SCENES = sorted(
+    os.path.basename(p)
+    for p in glob.glob("/root/reference/data/*.json")
+    # camera files are not scenes
+    if os.path.basename(p) not in ("cam1.json", "scene2_cam.json", "camera_checkered_spheres.json")
+)
+
+
+def test_load_repo_root_test_json():
+    """test.json (17k lines, generated book2 final scene) also loads."""
+    scene, dims = loader.load_scene("/root/reference/test.json")
+    # its scene list references only the first 408 primitives (older generator)
+    assert int(scene.quads.active.sum()) > 2000
+    assert int(scene.spheres.active.sum()) >= 5
+
+
+@pytest.mark.parametrize("name", ALL_SCENES)
+def test_load_all_reference_scenes(name, data_dir):
+    scene, dims = loader.load_scene(os.path.join(data_dir, name))
+    ns = int(scene.spheres.active.sum())
+    nq = int(scene.quads.active.sum())
+    nm = int(scene.media.active.sum())
+    assert ns + nq + nm > 0, "scene flattened to zero records"
+    # material indices in range
+    K = scene.materials.count
+    assert scene.spheres.material.max() < K
+    assert scene.quads.material.max() < K
+    assert scene.media.material.max() < K
+    # texture indices in range
+    L = scene.textures.count
+    assert scene.materials.tex.max() < L
+    # quad precomputation consistency: normal·q == d, w ∥ normal for active rows
+    act = scene.quads.active
+    if nq:
+        n = scene.quads.normal[act]
+        assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
+        assert np.allclose(
+            np.sum(n * scene.quads.q[act], axis=-1), scene.quads.d[act], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_book2_final_scene_counts(data_dir):
+    """book2 final: 400 floor boxes (→2400 quads) + 1 light quad + 1007 spheres,
+    3 constant media (data/book2_final_scene_10000_samples.json, built by
+    make_scene.py:176-222)."""
+    scene, dims = loader.load_scene(
+        os.path.join(data_dir, "book2_final_scene_10000_samples.json")
+    )
+    assert dims == (600, 600)
+    assert int(scene.quads.active.sum()) == 400 * 6 + 1
+    # 1007 spheres total; 2 of them are medium boundaries (boundary spheres at
+    # [360,150,145] r=70 and [0,0,0] r=5000) → 1005 surface spheres + 3 media?
+    # make_scene adds: moving sphere, dielectric, metal, dielectric(surface),
+    # same sphere as medium, world-fog sphere as medium, perlin sphere,
+    # 1000 cluster spheres. Media: 2 sphere-boundary media.
+    assert int(scene.media.active.sum()) == 2
+    assert int(scene.spheres.active.sum()) == 1005
+    # the 1000-sphere cluster is under a rotate+translate node → baked rigidly:
+    # radius unchanged
+    assert np.all(np.isclose(scene.spheres.radius[scene.spheres.active][-1000:], 10.0))
+
+
+def test_cornell_box_original(data_dir):
+    scene, dims = loader.load_scene(os.path.join(data_dir, "cornell_box_original.json"))
+    assert dims == (600, 600)
+    # 6 wall/light quads + 2 boxes × 6 quads, each box occurrence transformed
+    assert int(scene.quads.active.sum()) == 6 + 12
+    assert int(scene.spheres.active.sum()) == 0
+    assert np.allclose(scene.background, [0, 0, 0])
+    assert float(scene.camera.vfov) == 40.0
+
+
+def test_cornell_volume_media(data_dir):
+    scene, _ = loader.load_scene(os.path.join(data_dir, "cornell_box_volume.json"))
+    m = scene.media
+    assert int(m.active.sum()) == 2
+    assert np.all(m.btype[m.active] == defs.MEDIUM_BOX)
+    # rotated boxes → inverse affine is not identity
+    ident = np.hstack([np.eye(3), np.zeros((3, 1))])
+    assert not np.allclose(m.inv_model[0], ident, atol=1e-6)
+    # isotropic media materials auto-registered with solid textures
+    assert np.all(scene.materials.mtype[m.material[m.active]] == defs.MAT_ISOTROPIC)
+
+
+def test_legacy_checkered_spheres(data_dir):
+    scene, dims = loader.load_scene(os.path.join(data_dir, "checkered_spheres.json"))
+    assert dims is None  # legacy: camera by name, no width
+    assert int(scene.spheres.active.sum()) == 2
+    # camera file camera_checkered_spheres.json: fov 20, center [13,2,3]
+    assert float(scene.camera.vfov) == 20.0
+    assert np.allclose(scene.camera.center, [13, 2, 3])
+    # checker texture children
+    assert scene.textures.ttype[0] == defs.TEX_CHECKER
+    assert np.isclose(scene.textures.inv_scale[0], 1.0 / 0.32, rtol=1e-5)
+
+
+def test_legacy_final_render_book1(data_dir):
+    scene, dims = loader.load_scene(os.path.join(data_dir, "final_render_book_1.json"))
+    assert int(scene.spheres.active.sum()) == 484
+    # no camera key → loader defaults (src/Serialize.cpp:32-40)
+    assert float(scene.camera.vfov) == 90.0
+
+
+def test_scene_graph_nesting(data_dir):
+    """cornell_box_scene_graph.json nests boxes 3 deep with accumulated
+    translations — nested transforms must compose parent·child."""
+    scene, _ = loader.load_scene(os.path.join(data_dir, "cornell_box_scene_graph.json"))
+    nq = int(scene.quads.active.sum())
+    assert nq == 6 + 3 * 6  # walls + 3 nested boxes
+
+
+def test_instancing_duplicates():
+    """The same primitive referenced by two graph nodes must appear twice."""
+    import json, tempfile
+
+    doc = {
+        "camera": {"fov": 40, "center": [0, 0, 1], "look_at": [0, 0, 0]},
+        "materials": [{"type": "lambertian", "albedo": [0.5, 0.5, 0.5]}],
+        "primitives": [{"type": "sphere", "center": [0, 0, 0], "radius": 1.0, "material": 0}],
+        "scene": [
+            {"primitive": 0},
+            {"primitive": 0, "transform": {"translation": [5, 0, 0]}},
+        ],
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(doc, f)
+        path = f.name
+    scene, _ = loader.load_scene(path)
+    act = scene.spheres.active
+    assert int(act.sum()) == 2
+    centers = scene.spheres.center0[act]
+    assert np.allclose(sorted(centers[:, 0].tolist()), [0.0, 5.0])
+    os.unlink(path)
