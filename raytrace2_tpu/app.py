@@ -1,0 +1,171 @@
+"""CLI app shell — the TPU analog of App::Run (src/App.cpp:81-249).
+
+Bit-compatible inputs:
+* ``raytrace2-tpu <scene.json> [out.png]`` — argv parsing mirrors
+  App.cpp:86-107 (default scene ``data/scene2.json`` relative to the
+  reference-style root, ``.json`` suffix optional, optional explicit output
+  path).
+* ``local/data/settings.json`` — AppSettings fields num_samples,
+  render_once, save_after_render_once, max_depth, render_window
+  (src/Serialize.cpp:56-65, src/Settings.hpp:5-11). ``render_window`` is
+  accepted but there is no GL window here; the progressive preview writes
+  PNG snapshots instead (--preview-every).
+
+Extra flags (new capabilities, all optional) never conflict with the
+reference surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from datetime import datetime
+
+
+def load_app_settings(path: str) -> dict:
+    """AppSettings with reference defaults (Serialize.cpp:56-65); silently
+    empty on missing/invalid file (Util.cpp:21-32 semantics)."""
+    obj = {}
+    try:
+        with open(path) as f:
+            obj = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    return {
+        "num_samples": int(obj.get("num_samples", 1)),
+        "render_once": bool(obj.get("render_once", False)),
+        "save_after_render_once": bool(obj.get("save_after_render_once", False)),
+        "max_depth": int(obj.get("max_depth", 50)),
+        "render_window": bool(obj.get("render_window", True)),
+    }
+
+
+def _resolve_scene(arg: str | None, root: str) -> tuple[str, str]:
+    """argv[1] handling (App.cpp:86-100): default scene2, optional .json."""
+    if not arg:
+        return os.path.join(root, "data", "scene2.json"), "scene2"
+    path = arg
+    if path.endswith(".json"):
+        name = os.path.basename(path)[: -len(".json")]
+    else:
+        name = os.path.basename(path)
+        path += ".json"
+    return path, name
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="raytrace2-tpu",
+        description="TPU-native progressive path tracer (Raytrace2 capabilities).",
+    )
+    p.add_argument("scene", nargs="?", help="scene JSON path (default data/scene2.json)")
+    p.add_argument("output", nargs="?", help="output image path (.png or .ppm)")
+    p.add_argument("--root", default=".", help="project root for data/ and local/ dirs")
+    p.add_argument("--settings", default=None, help="settings.json path (default local/data/settings.json)")
+    p.add_argument("--samples", type=int, default=None, help="override num_samples")
+    p.add_argument("--depth", type=int, default=None, help="override max_depth")
+    p.add_argument("--width", type=int, default=None, help="override image width")
+    p.add_argument("--height", type=int, default=None, help="override image height")
+    p.add_argument("--seed", type=int, default=0, help="deterministic render seed")
+    p.add_argument("--chunk-size", type=int, default=None, help="rays per trace chunk")
+    p.add_argument("--preview-every", type=int, default=0,
+                   help="write a progressive preview PNG every N samples")
+    p.add_argument("--checkpoint", default=None,
+                   help="accumulator checkpoint path (resume if it exists)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint the accumulator every N samples")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    settings_path = args.settings or os.path.join(args.root, "local", "data", "settings.json")
+    settings = load_app_settings(settings_path)
+    if args.samples is not None:
+        settings["num_samples"] = args.samples
+    if args.depth is not None:
+        settings["max_depth"] = args.depth
+
+    scene_path, scene_name = _resolve_scene(args.scene, args.root)
+
+    def log(*a):
+        if not args.quiet:
+            print(*a, flush=True)
+
+    # Startup echo (App.cpp:108-113).
+    log(f"Render window: {int(settings['render_window'])}")
+    log(f"Render once: {int(settings['render_once'])}")
+    log(f"Num Samples: {settings['num_samples']}")
+    log(f"Max Depth: {settings['max_depth']}")
+    log(f"Scene Path: {scene_path}")
+
+    # Heavy imports after arg parsing so --help stays instant.
+    from raytrace2_tpu.io import image as image_io
+    from raytrace2_tpu.io import checkpoint as ckpt_io
+    from raytrace2_tpu.render import Renderer
+    from raytrace2_tpu.scene import loader
+
+    try:
+        scene, dims = loader.load_scene(scene_path, seed=args.seed)
+    except (OSError, loader.SceneError, json.JSONDecodeError) as e:
+        print(f"Failed to load scene: {e}", file=sys.stderr)
+        return 1
+
+    width, height = dims or (1600, 900)  # initial_dims default (App.cpp:115)
+    if args.width:
+        width = args.width
+        height = args.height or width
+    elif args.height:
+        height = args.height
+
+    renderer = Renderer(
+        scene, width, height,
+        num_samples=settings["num_samples"],
+        max_depth=settings["max_depth"],
+        seed=args.seed,
+        chunk_size=args.chunk_size or 65536,
+    )
+
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        state = ckpt_io.load_state(args.checkpoint)
+        renderer.set_state(state)
+        log(f"Resumed from {args.checkpoint} at sample {renderer.frame_idx}")
+
+    out_path = args.output
+    if not out_path:
+        outdir = os.path.join(args.root, "local", "output")
+        os.makedirs(outdir, exist_ok=True)
+        stamp = datetime.now().strftime("%Y-%m-%d.%H:%M:%S")
+        out_path = os.path.join(outdir, f"{scene_name}_{stamp}.png")
+
+    total = settings["num_samples"]
+    rays_per_sample = width * height
+    t0 = time.perf_counter()
+    while renderer.frame_idx < total:
+        renderer.update()
+        i = renderer.frame_idx
+        if not args.quiet and (i % max(total // 10, 1) == 0 or i == total):
+            dt = time.perf_counter() - t0
+            log(
+                f"sample {i}/{total}  "
+                f"{i * rays_per_sample / max(dt, 1e-9) / 1e6:.2f} Mpaths/s"
+            )
+        if args.preview_every and i % args.preview_every == 0 and i < total:
+            image_io.write_image(renderer.linear_pixels(), out_path)
+        if args.checkpoint and args.checkpoint_every and i % args.checkpoint_every == 0:
+            ckpt_io.save_state(args.checkpoint, renderer.state)
+
+    log(f"Writing image: {out_path}")
+    image_io.write_image(renderer.linear_pixels(), out_path)
+    if args.checkpoint:
+        ckpt_io.save_state(args.checkpoint, renderer.state)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,154 @@
+"""Wavefront path integrator: iterative bounce loop over SoA ray state.
+
+Replaces the reference's recursive ``RayColor``
+(src/cpu_raytrace/RayTracer.cpp:20-45) with the iterative
+radiance/throughput form the reference author sketched for the GPU
+(src/shaders/rtiow.fs.glsl:264-290), generalized with emission:
+
+    radiance   += throughput * emitted
+    throughput *= attenuation
+
+advanced under ``lax.while_loop`` (early exit when every ray has terminated)
+or ``lax.scan`` (differentiable; fixed trip count) over at most ``max_depth``
+bounces. Semantics match the recursion exactly: a miss adds
+``throughput * background`` (RayTracer.cpp:23-26); a ray that survives
+``max_depth`` scatters contributes nothing further (depth cap,
+RayTracer.cpp:21-22).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from raytrace2_tpu.ops import camera as camera_ops
+from raytrace2_tpu.ops import intersect, materials, rng
+
+
+def _media_uniforms(bkeys, num_media):
+    """Per-(ray, medium) uniforms from per-ray bounce keys — pure function of
+    pixel identity, never batch position (SURVEY.md §7 RNG reproducibility)."""
+    return jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 2), (num_media,)))(bkeys)
+
+
+def trace_rays(scene, features, o, d, time, keys, max_depth: int,
+               differentiable: bool = False):
+    """Trace N rays to completion; returns radiance [N,3].
+
+    Args:
+      scene: FlatScene on device; features: static gate dict.
+      o, d, time: ray SoA ([N,3], [N,3], [N]).
+      keys: [N] per-(pixel,sample) base keys.
+      max_depth: static bounce cap (AppSettings.max_depth, Settings.hpp:9).
+      differentiable: use a scan (reverse-mode differentiable) instead of a
+        while_loop with early exit.
+    """
+    n = o.shape[0]
+    num_media = scene.media.btype.shape[0]
+    background = scene.background
+
+    state = dict(
+        o=o,
+        d=d,
+        throughput=jnp.ones((n, 3), o.dtype),
+        radiance=jnp.zeros((n, 3), o.dtype),
+        alive=jnp.ones((n,), bool),
+        bounce=jnp.int32(0),
+    )
+
+    def step(st):
+        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, st["bounce"]))(keys)
+        u_media = (
+            _media_uniforms(bkeys, num_media) if features.get("has_media", True) else None
+        )
+        hit = intersect.closest_hit(
+            scene, st["o"], st["d"], time, u_media, features=features
+        )
+        shade_keys = jax.vmap(lambda k: jax.random.fold_in(k, 3))(bkeys)
+        sc = materials.shade(scene, features, hit, st["d"], shade_keys)
+
+        miss = st["alive"] & ~hit.valid
+        hit_live = st["alive"] & hit.valid
+        scatter_live = hit_live & sc.did_scatter
+
+        radiance = st["radiance"]
+        radiance = radiance + jnp.where(
+            miss[:, None], st["throughput"] * background[None, :], 0.0
+        )
+        radiance = radiance + jnp.where(
+            hit_live[:, None], st["throughput"] * sc.emitted, 0.0
+        )
+        throughput = jnp.where(
+            scatter_live[:, None], st["throughput"] * sc.attenuation, st["throughput"]
+        )
+        o_new = jnp.where(scatter_live[:, None], hit.point, st["o"])
+        d_new = jnp.where(scatter_live[:, None], sc.direction, st["d"])
+        return dict(
+            o=o_new,
+            d=d_new,
+            throughput=throughput,
+            radiance=radiance,
+            alive=scatter_live,
+            bounce=st["bounce"] + 1,
+        )
+
+    if differentiable:
+        def scan_body(st, _):
+            return step(st), None
+        state, _ = jax.lax.scan(scan_body, state, None, length=max_depth)
+    else:
+        state = jax.lax.while_loop(
+            lambda st: (st["bounce"] < max_depth) & jnp.any(st["alive"]),
+            step,
+            state,
+        )
+    return state["radiance"]
+
+
+def render_sample(scene, features, width: int, height: int, sample_idx, seed,
+                  max_depth: int, sqrt_spp: int, chunk_size: int | None = None,
+                  differentiable: bool = False):
+    """One progressive stratified sample for every pixel → [H,W,3] radiance.
+
+    The direct analog of RayTracer::Update (src/cpu_raytrace/
+    RayTracer.cpp:55-70), minus accumulation (the caller owns the
+    accumulator). Rays are processed in chunks under ``lax.map`` to bound the
+    [chunk, P] intersection intermediates resident at once.
+    """
+    n = width * height
+    pixel_ids = jnp.arange(n, dtype=jnp.int32)
+    keys = jax.vmap(lambda p: rng.pixel_sample_key(seed, p, sample_idx))(pixel_ids)
+    o, d, time = camera_ops.generate_rays(
+        scene.camera, width, height, sample_idx, sqrt_spp, keys
+    )
+
+    tracer = functools.partial(
+        trace_rays, scene, features, max_depth=max_depth,
+        differentiable=differentiable,
+    )
+    if chunk_size is None or chunk_size >= n:
+        radiance = tracer(o, d, time, keys)
+    else:
+        if n % chunk_size:
+            pad = chunk_size - n % chunk_size
+            o = jnp.pad(o, ((0, pad), (0, 0)))
+            d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+            time = jnp.pad(time, (0, pad))
+            keys = jnp.concatenate([keys, keys[:pad]])
+        chunks = o.shape[0] // chunk_size
+
+        def chunked(args):
+            return tracer(*args)
+
+        radiance = jax.lax.map(
+            chunked,
+            (
+                o.reshape(chunks, chunk_size, 3),
+                d.reshape(chunks, chunk_size, 3),
+                time.reshape(chunks, chunk_size),
+                keys.reshape(chunks, chunk_size),
+            ),
+        ).reshape(-1, 3)[:n]
+    return radiance.reshape(height, width, 3)

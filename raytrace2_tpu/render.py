@@ -1,0 +1,146 @@
+"""Progressive renderer: the TPU analog of cpu::RayTracer.
+
+The reference accumulates one stratified sample per pixel per Update call
+into ``accumulation_data_`` and derives display pixels as
+``clamp(acc / frame_idx)`` (src/cpu_raytrace/RayTracer.cpp:55-70). Here the
+accumulator is an immutable [H,W,3] array threaded through a jitted step
+function (donated, so XLA updates it in place); ``Reset``/``OnResize``
+(RayTracer.cpp:49-53, 87-104) become fresh-state construction. The
+(accumulator, frame_idx, seed) triple is the full render state — serialize it
+and rendering resumes exactly (see io/checkpoint.py), the disk-backed
+extension of the reference's in-memory progressive design (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytrace2_tpu.ops import integrator
+from raytrace2_tpu.scene import schema
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderState:
+    """Progressive accumulation state (resume-able)."""
+
+    accum: Any      # [H,W,3] f32 linear radiance sum
+    frame_idx: Any  # [] i32 — samples accumulated so far
+
+
+def init_state(width: int, height: int) -> RenderState:
+    return RenderState(
+        accum=jnp.zeros((height, width, 3), jnp.float32),
+        frame_idx=jnp.int32(0),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("features", "width", "height", "max_depth", "sqrt_spp",
+                     "chunk_size"),
+    donate_argnames=("state",),
+)
+def render_step(scene, features, state, seed, *, width, height, max_depth,
+                sqrt_spp, chunk_size):
+    """One progressive sample for all pixels, accumulated (RayTracer::Update)."""
+    radiance = integrator.render_sample(
+        scene, dict(features), width, height, state.frame_idx, seed,
+        max_depth, sqrt_spp, chunk_size,
+    )
+    return RenderState(accum=state.accum + radiance, frame_idx=state.frame_idx + 1)
+
+
+def linear_image(state: RenderState) -> jnp.ndarray:
+    """acc / frame_idx in linear space — RayTracer::NonConvertedPixels
+    (src/cpu_raytrace/RayTracer.cpp:105-112)."""
+    return state.accum / jnp.maximum(state.frame_idx, 1).astype(jnp.float32)
+
+
+def display_image(state: RenderState) -> jnp.ndarray:
+    """u8 display pixels: clamp(acc/frames) → sqrt gamma → 255.999 scale
+    (RayTracer.cpp:16-18,64-66 + Util.cpp:41-48)."""
+    lin = jnp.clip(linear_image(state), 0.0, 1.0)
+    return jnp.clip(jnp.sqrt(lin) * 255.999, 0.0, 255.0).astype(jnp.uint8)
+
+
+@dataclasses.dataclass
+class Renderer:
+    """Host-side progressive driver — the App/RayTracer pair's public surface
+    (Update / Reset / OnResize / Pixels / NonConvertedPixels / FrameIdx,
+    src/cpu_raytrace/RayTracer.hpp:15-42) in functional form."""
+
+    scene: schema.FlatScene
+    width: int
+    height: int
+    num_samples: int = 1
+    max_depth: int = 50
+    seed: int = 0
+    chunk_size: int | None = 65536
+    _features: tuple = ()
+    _state: RenderState | None = None
+
+    def __post_init__(self):
+        self._features = tuple(sorted(self.scene.features().items()))
+        self.scene = schema.to_device(self.scene)
+        self.reset()
+
+    @property
+    def sqrt_spp(self) -> int:
+        # Stratification grid side — int sqrt truncation as in Camera::Update
+        # (Camera.hpp:45); non-square sample counts wrap strata.
+        return max(int(math.sqrt(self.num_samples)), 1)
+
+    def reset(self) -> None:
+        """RayTracer::Reset (RayTracer.cpp:49-53)."""
+        self._state = init_state(self.width, self.height)
+
+    def resize(self, width: int, height: int) -> None:
+        """RayTracer::OnResize — reallocate and restart accumulation
+        (RayTracer.cpp:87-104)."""
+        self.width, self.height = width, height
+        self.reset()
+
+    def update(self) -> None:
+        """One progressive sample (RayTracer::Update)."""
+        chunk = self.chunk_size
+        n = self.width * self.height
+        if chunk is not None and chunk >= n:
+            chunk = None
+        self._state = render_step(
+            self.scene, self._features, self._state, self.seed,
+            width=self.width, height=self.height, max_depth=self.max_depth,
+            sqrt_spp=self.sqrt_spp, chunk_size=chunk,
+        )
+
+    def render(self, num_samples: int | None = None) -> np.ndarray:
+        """Headless batch loop (App.cpp:243-248): run all samples, return the
+        linear image."""
+        for _ in range(num_samples or self.num_samples):
+            self.update()
+        return self.linear_pixels()
+
+    @property
+    def frame_idx(self) -> int:
+        return int(self._state.frame_idx)
+
+    @property
+    def state(self) -> RenderState:
+        return self._state
+
+    def set_state(self, state: RenderState) -> None:
+        """Restore a checkpointed accumulator (resume)."""
+        self._state = state
+
+    def linear_pixels(self) -> np.ndarray:
+        return np.asarray(linear_image(self._state))
+
+    def display_pixels(self) -> np.ndarray:
+        return np.asarray(display_image(self._state))

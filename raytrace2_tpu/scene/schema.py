@@ -182,6 +182,17 @@ class FlatScene:
     def num_records(self) -> int:
         return self.spheres.count + self.quads.count + self.media.count
 
+    def features(self) -> dict:
+        """Static feature gates for the tracer, computed host-side at load
+        time. Scenes without media/noise/checker skip those code paths
+        entirely under jit (call before moving the pytree to device)."""
+        ttypes = np.asarray(self.textures.ttype)
+        return {
+            "has_media": bool(np.any(np.asarray(self.media.active))),
+            "has_noise": bool(np.any(ttypes == 2)),    # defs.TEX_NOISE
+            "has_checker": bool(np.any(ttypes == 1)),  # defs.TEX_CHECKER
+        }
+
 
 def _pad(arr: np.ndarray, n: int) -> np.ndarray:
     """Pad the leading axis of ``arr`` to length ``n`` with zeros."""

@@ -1,0 +1,100 @@
+"""End-to-end CLI tests (App::Run parity, src/App.cpp:81-249)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from raytrace2_tpu.app import load_app_settings, main
+from raytrace2_tpu.io import image
+
+
+def _scene_json():
+    return {
+        "background_color": [0.7, 0.8, 1.0],
+        "camera": {"fov": 60, "center": [0, 1, 3], "look_at": [0, 0, 0],
+                   "width": 32, "aspect_ratio": 2.0},
+        "materials": [{"type": "lambertian", "albedo": [0.5, 0.5, 0.5]}],
+        "primitives": [{"type": "sphere", "center": [0, 0, 0], "radius": 1.0, "material": 0}],
+    }
+
+
+def test_settings_defaults(tmp_path):
+    s = load_app_settings(str(tmp_path / "missing.json"))
+    assert s == {
+        "num_samples": 1, "render_once": False, "save_after_render_once": False,
+        "max_depth": 50, "render_window": True,
+    }
+    p = tmp_path / "settings.json"
+    p.write_text(json.dumps({"num_samples": 7, "max_depth": 3}))
+    s = load_app_settings(str(p))
+    assert s["num_samples"] == 7 and s["max_depth"] == 3
+
+
+def test_cli_renders_png(tmp_path):
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps(_scene_json()))
+    out = tmp_path / "out.png"
+    rc = main([str(scene), str(out), "--samples", "2", "--depth", "4", "--quiet"])
+    assert rc == 0
+    dec = image.decode_png(out.read_bytes())
+    assert dec.shape == (16, 32, 3)  # width 32, aspect 2 → height 16
+    assert dec.mean() > 10  # sky-lit scene isn't black
+
+
+def test_cli_scene_dims_and_default_output(tmp_path):
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps(_scene_json()))
+    rc = main([str(scene), "--samples", "1", "--depth", "2", "--quiet",
+               "--root", str(tmp_path)])
+    assert rc == 0
+    outs = os.listdir(tmp_path / "local" / "output")
+    assert len(outs) == 1 and outs[0].startswith("scene_")
+
+
+def test_cli_missing_scene_fails(tmp_path):
+    rc = main([str(tmp_path / "nope.json"), "--quiet"])
+    assert rc == 1
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps(_scene_json()))
+    ck = tmp_path / "state.npz"
+    out1 = tmp_path / "a.png"
+    # NOTE: stratification (sqrt_spp) is derived from num_samples exactly as
+    # the reference derives it from the camera's samples_per_pixel
+    # (Camera.hpp:45), so a resume reproduces the one-shot render only when
+    # int(sqrt(total)) matches across runs: 4 → 2 and 8 → 2 here.
+    rc = main([str(scene), str(out1), "--samples", "4", "--depth", "3",
+               "--checkpoint", str(ck), "--quiet"])
+    assert rc == 0 and ck.exists()
+    # Resume: 4 more samples on top of the checkpointed 4.
+    out2 = tmp_path / "b.png"
+    rc = main([str(scene), str(out2), "--samples", "8", "--depth", "3",
+               "--checkpoint", str(ck), "--quiet"])
+    assert rc == 0
+    # One-shot 8-sample render must match the resumed one exactly.
+    out3 = tmp_path / "c.png"
+    rc = main([str(scene), str(out3), "--samples", "8", "--depth", "3", "--quiet"])
+    assert rc == 0
+    np.testing.assert_array_equal(
+        image.decode_png(out2.read_bytes()), image.decode_png(out3.read_bytes())
+    )
+
+
+def test_module_invocation(tmp_path):
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps(_scene_json()))
+    out = tmp_path / "out.png"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "raytrace2_tpu", str(scene), str(out),
+         "--samples", "1", "--depth", "2"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Num Samples: 1" in r.stdout
+    assert out.exists()

@@ -1,0 +1,89 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (same code path as
+real pods; SURVEY.md §4 item 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace2_tpu import render as render_mod
+from raytrace2_tpu.ops import integrator
+from raytrace2_tpu.parallel import sharding
+from raytrace2_tpu.scene import loader, schema
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def cornell(data_dir):
+    scene, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
+    return schema.to_device(scene), tuple(sorted(scene.features().items()))
+
+
+def _single_device_reference(scene, features, width, height, samples, seed):
+    out = jnp.zeros((height, width, 3))
+    for s in range(samples):
+        out = out + integrator.render_sample(
+            scene, dict(features), width, height, jnp.int32(s), seed, 4, 1
+        )
+    return np.asarray(out)
+
+
+def test_sharded_matches_single_device(cornell):
+    """dp×sp sharded render must equal the sequential single-device render
+    bit-for-bit in structure (same (pixel, sample) key set → same rays)."""
+    scene, features = cornell
+    w = h = 16
+    mesh = sharding.make_mesh(sp=2)
+    sharded = np.asarray(
+        sharding.render_samples_sharded(
+            scene, features, jnp.int32(0), 0,
+            width=w, height=h, max_depth=4, sqrt_spp=1,
+            samples_per_device=2, mesh=mesh,
+        )
+    )
+    reference = _single_device_reference(scene, features, w, h, 4, 0)
+    np.testing.assert_allclose(sharded, reference, rtol=2e-4, atol=2e-5)
+
+
+def test_layout_invariance(cornell):
+    """Different mesh layouts must give identical results (RNG is a pure
+    function of pixel/sample identity, never device id)."""
+    scene, features = cornell
+    w = h = 16
+    kw = dict(width=w, height=h, max_depth=4, sqrt_spp=1)
+    a = np.asarray(
+        sharding.render_samples_sharded(
+            scene, features, jnp.int32(0), 0,
+            samples_per_device=4, mesh=sharding.make_mesh(sp=1), **kw,
+        )
+    )
+    b = np.asarray(
+        sharding.render_samples_sharded(
+            scene, features, jnp.int32(0), 0,
+            samples_per_device=1, mesh=sharding.make_mesh(sp=4, dp=2), **kw,
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_train_step_analog_accumulates(cornell):
+    scene, features = cornell
+    w = h = 8
+    mesh = sharding.make_mesh(sp=2)
+    state = render_mod.init_state(w, h)
+    state = sharding.train_step_analog(
+        scene, features, state, 0,
+        width=w, height=h, max_depth=3, sqrt_spp=1,
+        samples_per_device=2, mesh=mesh,
+    )
+    assert int(state.frame_idx) == 4
+    assert np.isfinite(np.asarray(state.accum)).all()
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
