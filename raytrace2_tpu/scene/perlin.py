@@ -24,7 +24,7 @@ POINT_COUNT = 256
 
 def make_tables(seed: int, tex_idx: int, point_count: int = POINT_COUNT):
     """Return (perm [3,256] int32, grad [256,3] float32)."""
-    rs = np.random.RandomState(np.uint32(0x9E3779B9 * (tex_idx + 1) + seed))
+    rs = np.random.RandomState(np.uint32((0x9E3779B9 * (tex_idx + 1) + seed) & 0xFFFFFFFF))
     v = rs.uniform(-1.0, 1.0, size=(point_count, 3))
     norms = np.linalg.norm(v, axis=-1, keepdims=True)
     norms = np.where(norms > 0, norms, 1.0)

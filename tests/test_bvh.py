@@ -1,0 +1,146 @@
+"""BVH tests (SURVEY.md §4 property tier): builder invariants, native ≡
+NumPy builder, and traversal ≡ brute force (the reference's HittableList
+linear loop, HittableList.cpp:8-22, is the oracle)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace2_tpu.scene import bvh as bvh_mod
+from raytrace2_tpu.ops import bvh_traverse
+
+
+def _random_aabbs(n, seed=0):
+    rs = np.random.RandomState(seed)
+    centers = rs.uniform(-50, 50, (n, 3))
+    half = rs.uniform(0.1, 5.0, (n, 3))
+    return (centers - half).astype(np.float32), (centers + half).astype(np.float32)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 7, 64, 257])
+def test_builder_invariants(n):
+    mn, mx = _random_aabbs(n, seed=n)
+    t = bvh_mod.build(mn, mx, use_native=False)
+    m = 2 * n - 1
+    assert t.left.shape == (m,)
+    leaves = t.prim >= 0
+    assert leaves.sum() == n
+    assert sorted(t.prim[leaves].tolist()) == list(range(n))
+    # Every node's AABB contains its children's/leaf's AABBs.
+    for i in range(m):
+        if t.prim[i] >= 0:
+            p = t.prim[i]
+            assert np.all(t.aabb_min[i] <= mn[p] + 1e-5)
+            assert np.all(t.aabb_max[i] >= mx[p] - 1e-5)
+        else:
+            for c in (t.left[i], t.right[i]):
+                assert np.all(t.aabb_min[i] <= t.aabb_min[c] + 1e-5)
+                assert np.all(t.aabb_max[i] >= t.aabb_max[c] - 1e-5)
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 100, 1023])
+def test_native_matches_numpy(n):
+    if bvh_mod._native_lib() is None:
+        pytest.skip("native builder not built")
+    mn, mx = _random_aabbs(n, seed=100 + n)
+    a = bvh_mod.build(mn, mx, use_native=False)
+    b = bvh_mod.build(mn, mx, use_native=True)
+    np.testing.assert_array_equal(a.left, b.left)
+    np.testing.assert_array_equal(a.right, b.right)
+    np.testing.assert_array_equal(a.prim, b.prim)
+    np.testing.assert_allclose(a.aabb_min, b.aabb_min)
+    np.testing.assert_allclose(a.aabb_max, b.aabb_max)
+
+
+def _sphere_leaf_fn(centers, radii):
+    def leaf(prim, t_min, t_max):
+        c = centers[prim]
+        r = radii[prim]
+        return prim, c, r, t_min, t_max
+
+    def leaf_t(o, d):
+        def fn(prim, t_min, t_max):
+            c = centers[prim]
+            r = radii[prim]
+            oc = c - o
+            a = jnp.dot(d, d)
+            h = jnp.dot(d, oc)
+            cc = jnp.dot(oc, oc) - r * r
+            disc = h * h - a * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            r0 = (h - sq) / a
+            r1 = (h + sq) / a
+            ok0 = (r0 > t_min) & (r0 < t_max)
+            ok1 = (r1 > t_min) & (r1 < t_max)
+            root = jnp.where(ok0, r0, r1)
+            return jnp.where((disc >= 0) & (ok0 | ok1), root, bvh_traverse.BIG)
+        return fn
+
+    return leaf_t
+
+
+def _brute_force(centers, radii, o, d, t_min, t_max):
+    """Oracle: linear closest-hit loop (HittableList.cpp:8-22 semantics)."""
+    oc = centers[None] - o[:, None]                      # [N,S,3]
+    a = np.sum(d * d, -1)[:, None]
+    h = np.sum(d[:, None] * oc, -1)
+    cc = np.sum(oc * oc, -1) - radii[None] ** 2
+    disc = h * h - a * cc
+    sq = np.sqrt(np.maximum(disc, 0))
+    r0 = (h - sq) / a
+    r1 = (h + sq) / a
+    ok0 = (r0 > t_min[:, None]) & (r0 < t_max[:, None])
+    ok1 = (r1 > t_min[:, None]) & (r1 < t_max[:, None])
+    root = np.where(ok0, r0, r1)
+    valid = (disc >= 0) & (ok0 | ok1)
+    ts = np.where(valid, root, np.inf)
+    best = ts.min(1)
+    prim = np.where(np.isfinite(best), ts.argmin(1), -1)
+    return best, prim
+
+
+@pytest.mark.parametrize("n_prims,n_rays,seed", [(1, 64, 0), (13, 128, 1), (200, 256, 2)])
+def test_traversal_matches_brute_force(n_prims, n_rays, seed):
+    rs = np.random.RandomState(seed)
+    centers = rs.uniform(-20, 20, (n_prims, 3)).astype(np.float32)
+    radii = rs.uniform(0.2, 3.0, n_prims).astype(np.float32)
+    tree = bvh_mod.build(centers - radii[:, None], centers + radii[:, None], use_native=False)
+    md = bvh_mod.depth(tree)
+
+    o = rs.uniform(-30, 30, (n_rays, 3)).astype(np.float32)
+    d = rs.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_min = np.full(n_rays, 1e-3, np.float32)
+    t_max = np.full(n_rays, 1e9, np.float32)
+
+    cj = jnp.asarray(centers)
+    rj = jnp.asarray(radii)
+    tree_j = jax.tree_util.tree_map(jnp.asarray, tree)
+    leaf_factory = _sphere_leaf_fn(cj, rj)
+
+    @jax.jit
+    def run(o, d, t0, t1):
+        def one(oo, dd, a, b):
+            return bvh_traverse.traverse_one(
+                tree_j, leaf_factory(oo, dd), oo, dd, a, b, md
+            )
+        return jax.vmap(one)(o, d, t0, t1)
+
+    got_t, got_p = map(np.asarray, run(o, d, t_min, t_max))
+    want_t, want_p = _brute_force(centers, radii, o, d, t_min, t_max)
+
+    miss = want_p < 0
+    np.testing.assert_array_equal(got_p[miss], -1)
+    hit = ~miss
+    np.testing.assert_allclose(got_t[hit], want_t[hit], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got_p[hit], want_p[hit])
+
+
+def test_depth_reasonable():
+    mn, mx = _random_aabbs(1024, seed=9)
+    t = bvh_mod.build(mn, mx, use_native=False)
+    d = bvh_mod.depth(t)
+    assert 10 <= d <= 64  # median split on 1024 prims ≈ balanced (10) but allow slack
