@@ -1,7 +1,13 @@
 """Benchmark harness: Cornell box progressive throughput on the current
-default JAX backend (real TPU chip under the driver).
+default JAX backend (the real TPU chip under the driver).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the reference's implied headline config — Cornell box original at
+600x600, max_depth 50, stratified progressive sampling
+(data/cornell_original_10000_samples.json / BASELINE.md). Samples are
+batched inside one jit dispatch (ops/integrator.render_progressive) so the
+measurement is device throughput, not host/tunnel latency.
 
 Baseline note (see BASELINE.md): the reference publishes no numbers. The
 comparison constant is the reference's implied CPU throughput — per-pixel TBB
@@ -24,6 +30,9 @@ def main() -> int:
 
     from raytrace2_tpu.ops import integrator
     from raytrace2_tpu.scene import loader, schema
+    from raytrace2_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     scene_path = "/root/reference/data/cornell_box_original.json"
     scene_host, dims = loader.load_scene(scene_path)
@@ -33,27 +42,28 @@ def main() -> int:
     width, height = dims or (600, 600)
     max_depth = 50
     sqrt_spp = 10  # stratification grid for the implied 10k-sample workload
-    chunk = 65536
 
     @jax.jit
-    def step(scene, sample_idx):
-        return integrator.render_sample(
-            scene, dict(features), width, height, sample_idx, 0,
-            max_depth, sqrt_spp, chunk_size=chunk,
+    def run(scene, sample0, n):
+        return integrator.render_progressive(
+            scene, dict(features), width, height, sample0, n, 0,
+            max_depth, sqrt_spp,
         )
 
-    # Warmup / compile.
-    out = step(scene, jnp.int32(0))
-    out.block_until_ready()
+    # Warmup / compile (cached persistently across runs).
+    run(scene, jnp.int32(0), jnp.int32(1)).block_until_ready()
 
-    iters = 8
+    # Calibrate to a ~5-20 s measurement.
+    iters = 4
     t0 = time.perf_counter()
-    acc = None
-    for i in range(iters):
-        r = step(scene, jnp.int32(i + 1))
-        acc = r if acc is None else acc + r
-    acc.block_until_ready()
+    run(scene, jnp.int32(1), jnp.int32(iters)).block_until_ready()
     dt = time.perf_counter() - t0
+    if dt < 4.0:
+        iters2 = max(int(iters * 8.0 / dt), 8)
+        t0 = time.perf_counter()
+        run(scene, jnp.int32(1 + iters), jnp.int32(iters2)).block_until_ready()
+        dt = time.perf_counter() - t0
+        iters = iters2
 
     paths_per_sec = iters * width * height / dt
     print(

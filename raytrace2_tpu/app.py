@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=None, help="override image height")
     p.add_argument("--seed", type=int, default=0, help="deterministic render seed")
     p.add_argument("--chunk-size", type=int, default=None, help="rays per trace chunk")
+    p.add_argument("--batch", type=int, default=0,
+                   help="samples per device dispatch (0 = auto)")
     p.add_argument("--preview-every", type=int, default=0,
                    help="write a progressive preview PNG every N samples")
     p.add_argument("--checkpoint", default=None,
@@ -109,6 +111,9 @@ def main(argv=None) -> int:
     from raytrace2_tpu.io import checkpoint as ckpt_io
     from raytrace2_tpu.render import Renderer
     from raytrace2_tpu.scene import loader
+    from raytrace2_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     try:
         scene, dims = loader.load_scene(scene_path, seed=args.seed)
@@ -145,15 +150,23 @@ def main(argv=None) -> int:
 
     total = settings["num_samples"]
     rays_per_sample = width * height
+    # Samples per dispatch: large batches amortize host→device round-trips
+    # (critical for network-attached TPUs) while keeping preview/checkpoint
+    # cadence; auto = up to 1/10 of the run.
+    batch = args.batch or max(min(total // 10, 64), 1)
+    for gate in (args.preview_every, args.checkpoint_every):
+        if gate:
+            batch = min(batch, gate)
     t0 = time.perf_counter()
+    done0 = renderer.frame_idx
     while renderer.frame_idx < total:
-        renderer.update()
+        renderer.update(min(batch, total - renderer.frame_idx))
         i = renderer.frame_idx
-        if not args.quiet and (i % max(total // 10, 1) == 0 or i == total):
+        if not args.quiet:
             dt = time.perf_counter() - t0
             log(
                 f"sample {i}/{total}  "
-                f"{i * rays_per_sample / max(dt, 1e-9) / 1e6:.2f} Mpaths/s"
+                f"{(i - done0) * rays_per_sample / max(dt, 1e-9) / 1e6:.2f} Mpaths/s"
             )
         if args.preview_every and i % args.preview_every == 0 and i < total:
             image_io.write_image(renderer.linear_pixels(), out_path)

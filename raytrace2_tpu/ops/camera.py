@@ -90,12 +90,15 @@ def generate_rays(cam, width: int, height: int, sample_idx, sqrt_spp, keys,
     ys = (pixel_ids // width).astype(jnp.float32)
 
     s_i, s_j = stratum(sample_idx, sqrt_spp)
-    ku = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-    u2 = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(ku)
+    # One threefry draw per ray covers jitter(2) + defocus disk(2) + time(1).
+    # Camera draw id 0x7FFFFFFF is disjoint from the bounce ids (0..max_depth).
+    u = jax.vmap(
+        lambda k: jax.random.uniform(jax.random.fold_in(k, 0x7FFFFFFF), (5,))
+    )(keys)
     # Stratified jitter inside the (s_i, s_j) cell (Camera.hpp:52-58).
     recip = 1.0 / sqrt_spp
-    px = (s_i + u2[:, 0]) * recip - 0.5
-    py = (s_j + u2[:, 1]) * recip - 0.5
+    px = (s_i + u[:, 0]) * recip - 0.5
+    py = (s_j + u[:, 1]) * recip - 0.5
 
     pixel_center = (
         frame["pixel00"][None, :]
@@ -103,8 +106,7 @@ def generate_rays(cam, width: int, height: int, sample_idx, sqrt_spp, keys,
         + (ys + py)[:, None] * frame["pixel_delta_v"][None, :]
     )
 
-    kd = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-    disk = jax.vmap(rng.in_unit_disk)(kd)
+    disk = rng.disk_from_uniforms(u[:, 2], u[:, 3])
     defocus_origin = (
         frame["center"][None, :]
         + disk[:, 0:1] * frame["defocus_disk_u"][None, :]
@@ -114,6 +116,5 @@ def generate_rays(cam, width: int, height: int, sample_idx, sqrt_spp, keys,
 
     dirs = _normalize(pixel_center - origins)
 
-    kt = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
-    times = jax.vmap(lambda k: jax.random.uniform(k))(kt)
+    times = u[:, 4]
     return origins, dirs, times

@@ -27,10 +27,10 @@ from raytrace2_tpu.ops import camera as camera_ops
 from raytrace2_tpu.ops import intersect, materials, rng
 
 
-def _media_uniforms(bkeys, num_media):
-    """Per-(ray, medium) uniforms from per-ray bounce keys — pure function of
-    pixel identity, never batch position (SURVEY.md §7 RNG reproducibility)."""
-    return jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 2), (num_media,)))(bkeys)
+# Per-bounce uniform layout: [0:2] unit-sphere dir, [2] fresnel choice,
+# [3:3+M] media free-path draws — all from ONE threefry draw per ray
+# (rng.bounce_uniforms); a pure function of (pixel, sample, bounce), never of
+# batch position (SURVEY.md §7 RNG reproducibility).
 
 
 def trace_rays(scene, features, o, d, time, keys, max_depth: int,
@@ -58,16 +58,17 @@ def trace_rays(scene, features, o, d, time, keys, max_depth: int,
         bounce=jnp.int32(0),
     )
 
+    has_media = features.get("has_media", True)
+
     def step(st):
-        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, st["bounce"]))(keys)
-        u_media = (
-            _media_uniforms(bkeys, num_media) if features.get("has_media", True) else None
-        )
+        n_draws = 3 + (num_media if has_media else 0)
+        u = rng.bounce_uniforms(keys, st["bounce"], n_draws)
+        u_media = u[:, 3:] if has_media else None
         hit = intersect.closest_hit(
             scene, st["o"], st["d"], time, u_media, features=features
         )
-        shade_keys = jax.vmap(lambda k: jax.random.fold_in(k, 3))(bkeys)
-        sc = materials.shade(scene, features, hit, st["d"], shade_keys)
+        u_vec = rng.unit_vec3_from_uniforms(u[:, 0], u[:, 1])
+        sc = materials.shade(scene, features, hit, st["d"], u_vec, u[:, 2])
 
         miss = st["alive"] & ~hit.valid
         hit_live = st["alive"] & hit.valid
@@ -152,3 +153,26 @@ def render_sample(scene, features, width: int, height: int, sample_idx, seed,
             ),
         ).reshape(-1, 3)[:n]
     return radiance.reshape(height, width, 3)
+
+
+def render_progressive(scene, features, width: int, height: int, sample0,
+                       n_samples, seed, max_depth: int, sqrt_spp: int,
+                       chunk_size: int | None = None,
+                       differentiable: bool = False):
+    """Accumulate ``n_samples`` consecutive progressive samples in ONE traced
+    computation (single device dispatch).
+
+    The reference dispatches one Update per sample from the host loop
+    (App.cpp:244-247); on TPU that costs a host→device round-trip per sample
+    — ruinous through a network-attached chip. Folding the sample loop into
+    the program amortizes dispatch to zero. ``n_samples`` may be traced (the
+    loop lowers to a while), so one compilation serves every batch size.
+    """
+    def body(i, acc):
+        return acc + render_sample(
+            scene, features, width, height, sample0 + i, seed, max_depth,
+            sqrt_spp, chunk_size, differentiable,
+        )
+
+    init = jnp.zeros((height, width, 3), jnp.float32)
+    return jax.lax.fori_loop(0, n_samples, body, init)

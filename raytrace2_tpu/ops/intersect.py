@@ -29,11 +29,21 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from raytrace2_tpu import defs
 
 BIG = jnp.float32(3.0e38)  # sentinel "no hit" distance (< f32 max to stay finite)
+
+
+def _mm(a, b):
+    """Ray×primitive contraction at FULL f32 precision. TPU matmuls default
+    to bf16 passes on the MXU — enough for NN layers, catastrophic for
+    intersection geometry (t errors ~1e-2 at Cornell scale → acne rings and
+    a visibly dimmer render, observed on-chip). Precision.HIGHEST forces the
+    f32-accurate path."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 class Hit(NamedTuple):
@@ -68,10 +78,10 @@ def _sphere_ts(spheres, o, d, time, t_min, t_max):
     dispdisp = jnp.sum(disp * disp, -1)  # [S]
     r2 = rad * rad
 
-    d_c0 = d @ c0.T        # [N,S]
-    d_disp = d @ disp.T
-    o_c0 = o @ c0.T
-    o_disp = o @ disp.T
+    d_c0 = _mm(d, c0.T)        # [N,S]
+    d_disp = _mm(d, disp.T)
+    o_c0 = _mm(o, c0.T)
+    o_disp = _mm(o, disp.T)
     oo = jnp.sum(o * o, -1, keepdims=True)   # [N,1]
     a = jnp.sum(d * d, -1, keepdims=True)    # [N,1] (1.0 for normalized dirs)
     tt = time[:, None]
@@ -82,7 +92,10 @@ def _sphere_ts(spheres, o, d, time, t_min, t_max):
     c_coef = cc - 2.0 * (o_c0 + tt * o_disp) + oo - r2[None, :]
 
     disc = h * h - a * c_coef
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Safe sqrt: sqrt'(0) is inf and 0·inf = NaN in the VJP of the masked
+    # select below; feed a dummy operand where there is no real root.
+    has_root = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(has_root, disc, 1.0))
     root0 = (h - sq) / a
     root1 = (h + sq) / a
     tmin = t_min[:, None] if t_min.ndim else t_min
@@ -91,7 +104,7 @@ def _sphere_ts(spheres, o, d, time, t_min, t_max):
     ok0 = (root0 > tmin) & (root0 < tmax)
     ok1 = (root1 > tmin) & (root1 < tmax)
     root = jnp.where(ok0, root0, root1)
-    hit = (disc >= 0.0) & (ok0 | ok1) & spheres.active[None, :]
+    hit = has_root & (ok0 | ok1) & spheres.active[None, :]
     return jnp.where(hit, root, BIG)
 
 
@@ -103,7 +116,9 @@ def _sphere_record(spheres, o, d, time, t, idx):
     rad = spheres.radius[idx]
     center = c0 + time[:, None] * disp
     point = o + t[:, None] * d
-    outward = (point - center) / rad[:, None]
+    # Padded rows have radius 0; they never win a valid hit but the record is
+    # computed unconditionally — keep the division finite.
+    outward = (point - center) / jnp.where(rad != 0.0, rad, 1.0)[:, None]
     front = jnp.sum(d * outward, -1) < 0.0
     normal = jnp.where(front[:, None], outward, -outward)
     # GetUV (Sphere.cpp:39-43): p is the outward unit normal.
@@ -129,14 +144,17 @@ def _quad_ts(quads, o, d, t_min, t_max):
     a_alpha = jnp.cross(quads.v, w)   # [Q,3]
     a_beta = jnp.cross(w, quads.u)    # [Q,3]
 
-    nd = d @ n.T                       # [N,Q]
-    no = o @ n.T
-    t = (quads.d[None, :] - no) / nd
+    nd = _mm(d, n.T)                       # [N,Q]
+    no = _mm(o, n.T)
+    # Safe divide: parallel rays (|nd| < eps) are culled below; a literal /0
+    # makes inf/NaN flow into the masked select's VJP.
+    not_parallel = jnp.abs(nd) >= defs.QUAD_EPS
+    t = (quads.d[None, :] - no) / jnp.where(not_parallel, nd, 1.0)
     # p·A = o·A + t (d·A); subtract q·A.
-    o_aa = o @ a_alpha.T
-    d_aa = d @ a_alpha.T
-    o_ab = o @ a_beta.T
-    d_ab = d @ a_beta.T
+    o_aa = _mm(o, a_alpha.T)
+    d_aa = _mm(d, a_alpha.T)
+    o_ab = _mm(o, a_beta.T)
+    d_ab = _mm(d, a_beta.T)
     q_aa = jnp.sum(q * a_alpha, -1)
     q_ab = jnp.sum(q * a_beta, -1)
     alpha = o_aa + t * d_aa - q_aa[None, :]
@@ -145,7 +163,7 @@ def _quad_ts(quads, o, d, t_min, t_max):
     tmin = t_min[:, None] if t_min.ndim else t_min
     tmax = t_max[:, None]
     hit = (
-        (jnp.abs(nd) >= defs.QUAD_EPS)           # parallel cull (Quad.cpp:22)
+        not_parallel                             # parallel cull (Quad.cpp:22)
         & (t >= tmin) & (t <= tmax)              # Interval::Contains — closed
         & (alpha >= 0.0) & (alpha <= 1.0)
         & (beta >= 0.0) & (beta <= 1.0)          # IsInterior (Quad.cpp:8-17)
@@ -184,14 +202,17 @@ def _boundary_interval(media, om, dm, time):
     h = jnp.sum(dm * oc, -1)
     c = jnp.sum(oc * oc, -1) - media.p1[None, :, 0] ** 2
     disc = h * h - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    s_valid = disc > 0.0
+    sq = jnp.sqrt(jnp.where(s_valid, disc, 1.0))  # safe sqrt (see _sphere_ts)
     s_t0 = (h - sq) / a
     s_t1 = (h + sq) / a
-    s_valid = disc > 0.0
 
     # Box boundary: slab test between p0 (min) and p1 (max), AABB::Hit
-    # semantics (src/cpu_raytrace/AABB.hpp:34-47).
-    inv = 1.0 / dm
+    # semantics (src/cpu_raytrace/AABB.hpp:34-47). Safe reciprocal: axis-
+    # parallel rays keep the slab semantics through the huge-but-finite
+    # bound; literal inf would NaN the masked-select VJP.
+    dm_safe = jnp.where(jnp.abs(dm) < 1e-12, jnp.where(dm < 0, -1e-12, 1e-12), dm)
+    inv = 1.0 / dm_safe
     lo = (media.p0[None, :, :] - om) * inv
     hi = (media.p1[None, :, :] - om) * inv
     b_t0 = jnp.max(jnp.minimum(lo, hi), -1)
@@ -262,6 +283,33 @@ def _media_record(media, o, d, t, idx):
 # --------------------------------------------------------------------------
 
 
+def _sphere_quad_best_pallas(scene, o, d, time, t_min, t_max):
+    """Per-family best (t, index) via the fused Pallas kernel
+    (ops/pallas/intersect_kernel.py). Pads the ray batch to the kernel tile."""
+    from raytrace2_tpu.ops.pallas import intersect_kernel as pk
+
+    n = o.shape[0]
+    pad = (-n) % pk.TILE_R
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        time = jnp.pad(time, (0, pad))
+        t_min = jnp.pad(t_min, (0, pad), constant_values=1.0)
+        t_max = jnp.pad(t_max, (0, pad))  # zeros: empty interval, no hits
+    sph, qd = pk.pack_scene(scene.spheres, scene.quads)
+    t, code = pk.closest_hit_pallas(o, d, time, t_min, t_max, sph, qd)
+    t, code = t[:n], code[:n]
+    fam = code >> pk.FAM_SHIFT            # -1 (miss) → -1, sphere 0, quad 1
+    idx = code & ((1 << pk.FAM_SHIFT) - 1)
+    is_s = fam == 0
+    is_q = fam == 1
+    bt_s = jnp.where(is_s, t, BIG)
+    bi_s = jnp.where(is_s, idx, 0)
+    bt_q = jnp.where(is_q, t, BIG)
+    bi_q = jnp.where(is_q, idx, 0)
+    return bt_s, bi_s, bt_q, bi_q
+
+
 def closest_hit(scene, o, d, time, u_media=None, t_min=None, t_max=None,
                 features=None) -> Hit:
     """Closest hit of N rays against the whole scene.
@@ -286,18 +334,23 @@ def closest_hit(scene, o, d, time, u_media=None, t_min=None, t_max=None,
     if t_max is None:
         t_max = jnp.full((n,), BIG)
 
-    ts_s = _sphere_ts(scene.spheres, o, d, time, t_min, t_max)
-    ts_q = _quad_ts(scene.quads, o, d, t_min, t_max)
+    if features.get("use_pallas", False):
+        bt_s, bi_s, bt_q, bi_q = _sphere_quad_best_pallas(
+            scene, o, d, time, t_min, t_max
+        )
+    else:
+        ts_s = _sphere_ts(scene.spheres, o, d, time, t_min, t_max)
+        ts_q = _quad_ts(scene.quads, o, d, t_min, t_max)
+        bt_s = jnp.min(ts_s, -1)
+        bi_s = jnp.argmin(ts_s, -1)
+        bt_q = jnp.min(ts_q, -1)
+        bi_q = jnp.argmin(ts_q, -1)
+
     if features.get("has_media", True) and u_media is not None:
         ts_m = _media_ts(scene.media, o, d, time, t_min, t_max, u_media)
     else:
         m = scene.media.btype.shape[0]
         ts_m = jnp.full((n, m), BIG)
-
-    bt_s = jnp.min(ts_s, -1)
-    bi_s = jnp.argmin(ts_s, -1)
-    bt_q = jnp.min(ts_q, -1)
-    bi_q = jnp.argmin(ts_q, -1)
     bt_m = jnp.min(ts_m, -1)
     bi_m = jnp.argmin(ts_m, -1)
 
@@ -320,5 +373,14 @@ def closest_hit(scene, o, d, time, u_media=None, t_min=None, t_max=None,
         )[i]
 
     point, normal, front, uv, mat = (pick(i) for i in range(5))
+    # Sanitize missed rays: their record is never *used* (masked by `valid`)
+    # but it IS computed through shading — t=BIG points overflow texture
+    # math (e.g. turbulence doubles coordinates, ConstantMedium-scale
+    # transforms) into inf/NaN that would poison masked-select VJPs.
+    v3 = valid[:, None]
+    point = jnp.where(v3, point, 0.0)
+    normal = jnp.where(v3, normal, jnp.zeros_like(normal).at[:, 2].set(1.0))
+    uv = jnp.where(v3, uv, 0.0)
+    mat = jnp.where(valid, mat, 0)
     return Hit(valid=valid, t=t, point=point, normal=normal,
                front_face=front, uv=uv, material=mat)

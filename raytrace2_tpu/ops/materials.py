@@ -12,11 +12,10 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from raytrace2_tpu import defs
-from raytrace2_tpu.ops import rng, textures as tex_ops
+from raytrace2_tpu.ops import textures as tex_ops
 
 
 class Scatter(NamedTuple):
@@ -52,13 +51,16 @@ def _normalize(v):
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-12)
 
 
-def shade(scene, features, hit, d_in, keys) -> Scatter:
+def shade(scene, features, hit, d_in, u_vec, u_frsn) -> Scatter:
     """Emission + scatter for every ray's hit record.
 
     Args:
       scene: FlatScene; features: static feature dict.
       hit: intersect.Hit SoA; d_in: [N,3] incoming directions.
-      keys: [N] per-(ray,bounce) PRNG keys.
+      u_vec: [N,3] unit-sphere directions (shared by lambertian fuzz/metal/
+        isotropic — mutually exclusive per ray); u_frsn: [N] uniforms for the
+        dielectric reflect/refract choice. Both come from the integrator's
+        single per-bounce draw (ops/rng.bounce_uniforms).
     """
     mats = scene.materials
     mtype = mats.mtype[hit.material]
@@ -67,11 +69,6 @@ def shade(scene, features, hit, d_in, keys) -> Scatter:
     tex_idx = mats.tex[hit.material]
 
     texval = tex_ops.texture_value(scene.textures, tex_idx, hit.uv, hit.point, features)
-
-    k_unit = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-    k_frsn = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-    u_vec = jax.vmap(rng.unit_vec3)(k_unit)               # shared unit-sphere draw
-    u_frsn = jax.vmap(lambda k: jax.random.uniform(k))(k_frsn)
 
     # Lambertian / texture-lambertian: dir = normal + unit vec, degenerate →
     # normal (Material.cpp:47-56, 58-69).
@@ -82,8 +79,10 @@ def shade(scene, features, hit, d_in, keys) -> Scatter:
     # Metal: normalize(reflect) + fuzz · unit vec (Material.cpp:10-17).
     metal_dir = _normalize(reflect(d_in, hit.normal)) + param[:, None] * u_vec
 
-    # Dielectric (Material.cpp:29-45).
-    ri = jnp.where(hit.front_face, 1.0 / param, param)
+    # Dielectric (Material.cpp:29-45). param is the refraction index only on
+    # dielectric rows; guard the reciprocal for the others (masked out below).
+    param_safe = jnp.where(param > 0.0, param, 1.0)
+    ri = jnp.where(hit.front_face, 1.0 / param_safe, param_safe)
     unit_d = _normalize(d_in)
     cos_t = jnp.minimum(jnp.sum(-unit_d * hit.normal, -1), 1.0)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))

@@ -69,6 +69,33 @@ def in_unit_disk(key, shape=()):
     return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), jnp.zeros_like(r)], axis=-1)
 
 
+def unit_vec3_from_uniforms(u1, u2):
+    """Exact uniform sphere direction from two uniforms: z = 1-2u,
+    φ = 2πu — one threefry draw instead of three gaussians. Shapes broadcast;
+    returns [..., 3]."""
+    z = 1.0 - 2.0 * u1
+    phi = (2.0 * jnp.pi) * u2
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def disk_from_uniforms(u1, u2):
+    """Uniform unit-disk point (z=0) from two uniforms via the polar map."""
+    r = jnp.sqrt(u1)
+    theta = (2.0 * jnp.pi) * u2
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), jnp.zeros_like(r)], axis=-1)
+
+
+def bounce_uniforms(keys, bounce_idx, n_draws: int):
+    """One threefry draw per ray for a whole bounce: [N, n_draws] uniforms
+    from fold_in(key, bounce). This is THE per-bounce RNG entry point — two
+    hash invocations per ray per bounce (fold + draw) instead of one per
+    consumed random number."""
+    return jax.vmap(
+        lambda k: jax.random.uniform(jax.random.fold_in(k, bounce_idx), (n_draws,))
+    )(keys)
+
+
 def on_hemisphere(key, normal):
     """Uniform direction on the hemisphere around ``normal``
     (src/cpu_raytrace/Math.hpp:45-51)."""

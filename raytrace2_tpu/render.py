@@ -48,14 +48,18 @@ def init_state(width: int, height: int) -> RenderState:
                      "chunk_size"),
     donate_argnames=("state",),
 )
-def render_step(scene, features, state, seed, *, width, height, max_depth,
-                sqrt_spp, chunk_size):
-    """One progressive sample for all pixels, accumulated (RayTracer::Update)."""
-    radiance = integrator.render_sample(
-        scene, dict(features), width, height, state.frame_idx, seed,
-        max_depth, sqrt_spp, chunk_size,
+def render_step(scene, features, state, seed, n_samples=1, *, width, height,
+                max_depth, sqrt_spp, chunk_size):
+    """``n_samples`` progressive samples for all pixels, accumulated in one
+    dispatch (RayTracer::Update × n; n is traced → one compilation)."""
+    radiance = integrator.render_progressive(
+        scene, dict(features), width, height, state.frame_idx, n_samples,
+        seed, max_depth, sqrt_spp, chunk_size,
     )
-    return RenderState(accum=state.accum + radiance, frame_idx=state.frame_idx + 1)
+    return RenderState(
+        accum=state.accum + radiance,
+        frame_idx=state.frame_idx + jnp.asarray(n_samples, jnp.int32),
+    )
 
 
 def linear_image(state: RenderState) -> jnp.ndarray:
@@ -84,11 +88,18 @@ class Renderer:
     max_depth: int = 50
     seed: int = 0
     chunk_size: int | None = 65536
+    backend: str = "auto"  # 'auto' | 'pallas' | 'xla' intersection backend
     _features: tuple = ()
     _state: RenderState | None = None
 
     def __post_init__(self):
-        self._features = tuple(sorted(self.scene.features().items()))
+        features = self.scene.features()
+        use_pallas = (
+            self.backend == "pallas"
+            or (self.backend == "auto" and jax.default_backend() not in ("cpu",))
+        )
+        features["use_pallas"] = use_pallas
+        self._features = tuple(sorted(features.items()))
         self.scene = schema.to_device(self.scene)
         self.reset()
 
@@ -108,23 +119,28 @@ class Renderer:
         self.width, self.height = width, height
         self.reset()
 
-    def update(self) -> None:
-        """One progressive sample (RayTracer::Update)."""
+    def update(self, n_samples: int = 1) -> None:
+        """``n_samples`` progressive samples in one dispatch
+        (RayTracer::Update semantics per sample)."""
         chunk = self.chunk_size
         n = self.width * self.height
         if chunk is not None and chunk >= n:
             chunk = None
         self._state = render_step(
             self.scene, self._features, self._state, self.seed,
+            jnp.int32(n_samples),
             width=self.width, height=self.height, max_depth=self.max_depth,
             sqrt_spp=self.sqrt_spp, chunk_size=chunk,
         )
 
-    def render(self, num_samples: int | None = None) -> np.ndarray:
+    def render(self, num_samples: int | None = None, batch: int = 1) -> np.ndarray:
         """Headless batch loop (App.cpp:243-248): run all samples, return the
-        linear image."""
-        for _ in range(num_samples or self.num_samples):
-            self.update()
+        linear image. ``batch`` groups samples per dispatch."""
+        remaining = num_samples or self.num_samples
+        while remaining > 0:
+            step = min(batch, remaining)
+            self.update(step)
+            remaining -= step
         return self.linear_pixels()
 
     @property

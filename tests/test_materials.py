@@ -52,10 +52,14 @@ def _shade(scene, mat_idx, normal, d_in, n=1024, front=True):
         material=jnp.full(n, mat_idx, jnp.int32),
     )
     keys = jax.random.split(jax.random.key(0), n)
+    u = jax.jit(jax.vmap(lambda k: jax.random.uniform(k, (3,))))(keys)
     d_in = jnp.tile(jnp.asarray(d_in, jnp.float32), (n, 1))
+    from raytrace2_tpu.ops import rng as rng_ops
+
+    u_vec = rng_ops.unit_vec3_from_uniforms(u[:, 0], u[:, 1])
     return jax.jit(
-        lambda s, h, d, k: materials.shade(s, FEAT, h, d, k)
-    )(schema.to_device(scene), hit, d_in, keys)
+        lambda s, h, d, uv, uf: materials.shade(s, FEAT, h, d, uv, uf)
+    )(schema.to_device(scene), hit, d_in, u_vec, u[:, 2])
 
 
 def test_reflect_refract_closed_form():
