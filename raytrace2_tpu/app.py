@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accumulator checkpoint path (resume if it exists)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="checkpoint the accumulator every N samples")
+    p.add_argument("--live", action="store_true",
+                   help="progressive ANSI preview in the terminal (the "
+                        "headless analog of the reference's render window)")
+    p.add_argument("--live-cols", type=int, default=100)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render into DIR")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -157,12 +163,24 @@ def main(argv=None) -> int:
     for gate in (args.preview_every, args.checkpoint_every):
         if gate:
             batch = min(batch, gate)
+    profiler_cm = None
+    if args.profile:
+        import jax
+
+        profiler_cm = jax.profiler.trace(args.profile)
+        profiler_cm.__enter__()
     t0 = time.perf_counter()
     done0 = renderer.frame_idx
+    first_frame = True
     while renderer.frame_idx < total:
         renderer.update(min(batch, total - renderer.frame_idx))
         i = renderer.frame_idx
-        if not args.quiet:
+        if args.live:
+            from raytrace2_tpu.io import term
+
+            term.redraw(renderer.linear_pixels(), args.live_cols, first=first_frame)
+            first_frame = False
+        if not args.quiet and not args.live:
             dt = time.perf_counter() - t0
             log(
                 f"sample {i}/{total}  "
@@ -173,6 +191,8 @@ def main(argv=None) -> int:
         if args.checkpoint and args.checkpoint_every and i % args.checkpoint_every == 0:
             ckpt_io.save_state(args.checkpoint, renderer.state)
 
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
     log(f"Writing image: {out_path}")
     image_io.write_image(renderer.linear_pixels(), out_path)
     if args.checkpoint:

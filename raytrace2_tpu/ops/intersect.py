@@ -37,13 +37,19 @@ from raytrace2_tpu import defs
 BIG = jnp.float32(3.0e38)  # sentinel "no hit" distance (< f32 max to stay finite)
 
 
-def _mm(a, b):
-    """Ray×primitive contraction at FULL f32 precision. TPU matmuls default
-    to bf16 passes on the MXU — enough for NN layers, catastrophic for
-    intersection geometry (t errors ~1e-2 at Cornell scale → acne rings and
-    a visibly dimmer render, observed on-chip). Precision.HIGHEST forces the
-    f32-accurate path."""
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+def _mm(a, bt):
+    """[N,3]·[3,P] ray×primitive contraction as explicit VPU broadcast
+    multiply-adds. NOT a matmul on purpose: TPU dots default to bf16 MXU
+    passes — enough for NN layers, catastrophic for intersection geometry
+    (t errors ~1e-2 at Cornell scale → acne rings and a visibly dimmer
+    render, observed on-chip) — and a K=3 contraction can't feed the
+    128-deep systolic array anyway. Three fused multiply-adds at full f32
+    are both exact and faster."""
+    return (
+        a[:, 0:1] * bt[0][None, :]
+        + a[:, 1:2] * bt[1][None, :]
+        + a[:, 2:3] * bt[2][None, :]
+    )
 
 
 class Hit(NamedTuple):

@@ -649,3 +649,16 @@ def load_scene(path: str, seed: int = 0, data_dir: str | None = None):
     """Parse + flatten. Returns (FlatScene, dims|None)."""
     desc = parse_scene(path, data_dir=data_dir)
     return flatten(desc, seed=seed), desc.dims
+
+
+def write_camera(cam: schema.CameraParams, path: str) -> None:
+    """Camera write-back JSON — serialize::WriteCamera (src/Serialize.cpp:47-54)."""
+    obj = {
+        "fov": float(cam.vfov),
+        "center": [float(x) for x in np.asarray(cam.center)],
+        "look_at": [float(x) for x in np.asarray(cam.look_at)],
+        "defocus_angle": float(cam.defocus_angle),
+        "focus_distance": float(cam.focus_dist),
+    }
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2)

@@ -1,0 +1,58 @@
+"""Golden-image gates vs. the reference's own shipped renders
+(screenshots/cornell_box.png — README.md:31-32). Full PSNR>40 dB gates need
+converged (10k spp) renders on TPU; this CPU-tier test renders modest spp,
+box-downsamples to suppress Monte-Carlo noise, and gates on structural
+agreement — catching orientation flips, wrong wall colors, brightness bugs
+(e.g. the TPU bf16-matmul regression) while staying test-suite fast."""
+
+import numpy as np
+import pytest
+
+from raytrace2_tpu.io import compare
+from raytrace2_tpu.io import image as image_io
+from raytrace2_tpu.render import Renderer
+from raytrace2_tpu.scene import loader
+
+
+@pytest.mark.slow
+def test_cornell_matches_reference_screenshot(data_dir, tmp_path):
+    scene, dims = loader.load_scene(f"{data_dir}/cornell_box_original.json")
+    size = 120
+    r = Renderer(scene, size, size, num_samples=64, max_depth=20,
+                 chunk_size=None, backend="xla")
+    lin = r.render(batch=16)
+
+    ours = image_io.to_color(lin)[::-1].astype(np.float64) / 255.0  # display orientation
+    golden = compare.load_png_normalized("/root/reference/screenshots/cornell_box.png")
+
+    # Downsample both to a common coarse grid.
+    gs = golden.shape[0] // 15
+    golden_small = compare.downsample(golden, gs)[:15, :15]
+    ours_small = compare.downsample(ours, size // 15)[:15, :15]
+
+    p = compare.psnr(ours_small, golden_small)
+    assert p > 17.0, f"PSNR {p:.1f} dB vs reference screenshot"
+
+    # Wall hue check: left third greener than red, right third redder.
+    left = ours_small[5:10, 0:4].mean((0, 1))
+    right = ours_small[5:10, 11:15].mean((0, 1))
+    assert left[1] > left[0], "left wall should be green"
+    assert right[0] > right[1], "right wall should be red"
+
+
+def test_psnr_utility():
+    a = np.zeros((8, 8, 3))
+    assert compare.psnr(a, a) == float("inf")
+    b = a + 0.1
+    assert abs(compare.psnr(a, b) - 20.0) < 1e-6
+
+
+def test_write_camera_roundtrip(tmp_path):
+    scene, _ = loader.load_scene("/root/reference/data/cornell_box_original.json")
+    p = tmp_path / "cam.json"
+    loader.write_camera(scene.camera, str(p))
+    import json
+
+    obj = json.loads(p.read_text())
+    assert obj["fov"] == 40.0
+    assert obj["center"] == [278.0, 278.0, -800.0]
