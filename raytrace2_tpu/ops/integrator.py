@@ -33,39 +33,21 @@ from raytrace2_tpu.ops import intersect, materials, rng
 # batch position (SURVEY.md §7 RNG reproducibility).
 
 
-def trace_rays(scene, features, o, d, time, keys, max_depth: int,
-               differentiable: bool = False):
-    """Trace N rays to completion; returns radiance [N,3].
+def _make_step(scene, features, background):
+    """Build the per-bounce transition for a (possibly compacted) ray set.
 
-    Args:
-      scene: FlatScene on device; features: static gate dict.
-      o, d, time: ray SoA ([N,3], [N,3], [N]).
-      keys: [N] per-(pixel,sample) base keys.
-      max_depth: static bounce cap (AppSettings.max_depth, Settings.hpp:9).
-      differentiable: use a scan (reverse-mode differentiable) instead of a
-        while_loop with early exit.
+    The step closes over nothing ray-indexed: keys/time ride inside the
+    state so compaction can gather them along with the rays.
     """
-    n = o.shape[0]
     num_media = scene.media.btype.shape[0]
-    background = scene.background
-
-    state = dict(
-        o=o,
-        d=d,
-        throughput=jnp.ones((n, 3), o.dtype),
-        radiance=jnp.zeros((n, 3), o.dtype),
-        alive=jnp.ones((n,), bool),
-        bounce=jnp.int32(0),
-    )
-
     has_media = features.get("has_media", True)
 
     def step(st):
         n_draws = 3 + (num_media if has_media else 0)
-        u = rng.bounce_uniforms(keys, st["bounce"], n_draws)
+        u = rng.bounce_uniforms(st["keys"], st["bounce"], n_draws)
         u_media = u[:, 3:] if has_media else None
         hit = intersect.closest_hit(
-            scene, st["o"], st["d"], time, u_media, features=features
+            scene, st["o"], st["d"], st["time"], u_media, features=features
         )
         u_vec = rng.unit_vec3_from_uniforms(u[:, 0], u[:, 1])
         sc = materials.shade(scene, features, hit, st["d"], u_vec, u[:, 2])
@@ -87,6 +69,7 @@ def trace_rays(scene, features, o, d, time, keys, max_depth: int,
         o_new = jnp.where(scatter_live[:, None], hit.point, st["o"])
         d_new = jnp.where(scatter_live[:, None], sc.direction, st["d"])
         return dict(
+            st,
             o=o_new,
             d=d_new,
             throughput=throughput,
@@ -95,17 +78,86 @@ def trace_rays(scene, features, o, d, time, keys, max_depth: int,
             bounce=st["bounce"] + 1,
         )
 
+    return step
+
+
+def trace_rays(scene, features, o, d, time, keys, max_depth: int,
+               differentiable: bool = False):
+    """Trace N rays to completion; returns radiance [N,3].
+
+    Args:
+      scene: FlatScene on device; features: static gate dict.
+      o, d, time: ray SoA ([N,3], [N,3], [N]).
+      keys: [N] per-(pixel,sample) base keys.
+      max_depth: static bounce cap (AppSettings.max_depth, Settings.hpp:9).
+      differentiable: use a scan (reverse-mode differentiable) instead of the
+        compacting while-loop fast path.
+
+    Fast path = **phased wavefront compaction**. The lockstep loop's cost is
+    (iterations until the LAST ray dies) × full width, but Cornell's alive
+    fraction decays fast (mean path ≈ 6.7 bounces vs a 50-bounce cap →
+    ~13% lane efficiency). Each phase runs the masked loop only while the
+    alive count exceeds the next phase's capacity, then gathers the
+    survivors (with their keys — RNG streams are untouched, results are
+    bitwise identical) into a buffer `compaction_ratio`× smaller and
+    continues. Work drops from depth·N to ≈ Σ phase_len·phase_width.
+    """
+    n = o.shape[0]
+    background = scene.background
+    step = _make_step(scene, features, background)
+
+    state = dict(
+        o=o,
+        d=d,
+        time=time,
+        keys=keys,
+        throughput=jnp.ones((n, 3), o.dtype),
+        radiance=jnp.zeros((n, 3), o.dtype),
+        alive=jnp.ones((n,), bool),
+        bounce=jnp.int32(0),
+    )
+
     if differentiable:
         def scan_body(st, _):
             return step(st), None
         state, _ = jax.lax.scan(scan_body, state, None, length=max_depth)
-    else:
+        return state["radiance"]
+
+    compaction_ratio = int(features.get("compaction_ratio", 8))
+    num_phases = int(features.get("compaction_phases", 3))
+
+    radiance_full = jnp.zeros((n, 3), o.dtype)
+    idx_map = jnp.arange(n, dtype=jnp.int32)
+    width = n
+    for phase in range(num_phases):
+        last = phase == num_phases - 1 or width // compaction_ratio < 256
+        cap_next = 0 if last else width // compaction_ratio
+
         state = jax.lax.while_loop(
-            lambda st: (st["bounce"] < max_depth) & jnp.any(st["alive"]),
+            lambda st, cap=cap_next: (st["bounce"] < max_depth)
+            & (jnp.sum(st["alive"]) > cap),
             step,
             state,
         )
-    return state["radiance"]
+        radiance_full = radiance_full.at[idx_map].add(state["radiance"])
+        if last:
+            break
+        # Compact: stable-partition alive rays to the front; dead slots that
+        # ride along have alive=False and contribute nothing further.
+        order = jnp.argsort(~state["alive"], stable=True)[:cap_next]
+        idx_map = idx_map[order]
+        state = dict(
+            o=state["o"][order],
+            d=state["d"][order],
+            time=state["time"][order],
+            keys=state["keys"][order],
+            throughput=state["throughput"][order],
+            radiance=jnp.zeros((cap_next, 3), o.dtype),
+            alive=state["alive"][order],
+            bounce=state["bounce"],
+        )
+        width = cap_next
+    return radiance_full
 
 
 def render_sample(scene, features, width: int, height: int, sample_idx, seed,

@@ -18,6 +18,11 @@ _DEFAULT_DIR = os.environ.get(
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU compiles are fast, and CPU AOT cache entries embed host CPU
+        # feature lists that spew mismatch warnings across heterogeneous
+        # runs — not worth caching.
+        return
     cache_dir = cache_dir or _DEFAULT_DIR
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
