@@ -108,6 +108,73 @@ def render_samples_sharded(scene, features, sample0, seed, *, width, height,
     return out[:n].reshape(height, width, 3)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("features", "width", "height", "max_depth", "sqrt_spp",
+                     "n_samples", "mesh"),
+)
+def render_grad_sharded(scene, features, target, seed, *, width, height,
+                        max_depth, sqrt_spp, n_samples, mesh):
+    """Distributed differentiable render: L2 loss against ``target`` and
+    d loss/d scene, pixel-sharded over the mesh's 'dp' axis with the
+    gradient all-reduced by psum — the renderer's data-parallel training
+    step (SURVEY.md §2.12 'gradient parallelism').
+
+    Every device renders its pixel tile with the scan-based differentiable
+    integrator, computes its partial loss and scene-gradient, and psums
+    both; scene (and its gradient) are replicated, mirroring
+    gradient-all-reduce data parallelism in NN training.
+    """
+    features = dict(features)
+    features.pop("use_pallas", None)  # Pallas kernel has no VJP
+    n = width * height
+    total = mesh.shape["dp"] * mesh.shape["sp"]  # both axes shard pixels here
+    pad = (-n) % total
+    pixel_ids = jnp.arange(n + pad, dtype=jnp.int32) % n
+    tgt_flat = target.reshape(n, 3)
+    tgt_flat = jnp.concatenate([tgt_flat, tgt_flat[:pad]]) if pad else tgt_flat
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(("sp", "dp")), P(("sp", "dp"))),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def go(scene, my_pixels, my_target):
+        def local_loss(scene):
+            acc = jnp.zeros((my_pixels.shape[0], 3), jnp.float32)
+            for s in range(n_samples):
+                keys = jax.vmap(
+                    lambda p: rng.pixel_sample_key(seed, p, jnp.int32(s))
+                )(my_pixels)
+                o, d, time = camera_ops.generate_rays(
+                    scene.camera, width, height, jnp.int32(s), sqrt_spp,
+                    keys, my_pixels,
+                )
+                acc = acc + integrator.trace_rays(
+                    scene, features, o, d, time, keys, max_depth,
+                    differentiable=True,
+                )
+            img = acc / n_samples
+            return jnp.sum((img - my_target) ** 2)
+
+        loss, g = jax.value_and_grad(local_loss, allow_int=True)(scene)
+        loss = jax.lax.psum(loss, ("sp", "dp"))
+
+        def reduce_leaf(x):
+            # Integer leaves (type ids, indices) carry float0 cotangents —
+            # nothing to reduce.
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                return jax.lax.psum(x, ("sp", "dp"))
+            return x
+
+        g = jax.tree_util.tree_map(reduce_leaf, g)
+        return loss, g
+
+    return go(scene, pixel_ids, tgt_flat)
+
+
 def train_step_analog(scene, features, state, seed, *, width, height, max_depth,
                       sqrt_spp, samples_per_device, mesh):
     """One distributed accumulation step: the renderer's 'training step'.

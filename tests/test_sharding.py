@@ -83,6 +83,40 @@ def test_train_step_analog_accumulates(cornell):
     assert np.isfinite(np.asarray(state.accum)).all()
 
 
+def test_distributed_gradient_matches_single_device(cornell):
+    """Pixel-sharded value_and_grad with psum == single-device gradient."""
+    import dataclasses
+
+    from raytrace2_tpu import grad as grad_mod
+
+    scene, features = cornell
+    w = h = 8
+    kw = dict(width=w, height=h, max_depth=3, sqrt_spp=1, n_samples=2)
+    target = jnp.zeros((h, w, 3))
+
+    mesh = sharding.make_mesh(sp=2)
+    loss_d, g_d = sharding.render_grad_sharded(
+        scene, features, target, 0, mesh=mesh, **kw
+    )
+
+    def loss_fn(img):
+        return jnp.sum((img - target) ** 2)
+
+    loss_s, g_s = grad_mod.value_and_grad_scene(
+        loss_fn, scene, features, 0, **kw
+    )
+    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_d.materials.albedo), np.asarray(g_s.materials.albedo),
+        rtol=1e-3, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_d.background), np.asarray(g_s.background),
+        rtol=1e-3, atol=1e-6,
+    )
+    del dataclasses
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
