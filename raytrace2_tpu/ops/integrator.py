@@ -81,8 +81,29 @@ def _make_step(scene, features, background):
     return step
 
 
+def _trace_megakernel(scene, features, o, d, time, seed_lane, max_depth):
+    """Dispatch to the Pallas megakernel (gated: spheres/quads + solid/
+    checker textures only; see ops/pallas/megakernel.py)."""
+    from raytrace2_tpu.ops.pallas import megakernel as mk
+
+    n = o.shape[0]
+    pad = (-n) % mk.TILE_R
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        time = jnp.pad(time, (0, pad))
+    tables = mk.pack_tables(scene)
+    radiance = mk.trace_megakernel(
+        o, d, time, seed_lane, tables, scene.background,
+        max_depth=max_depth,
+        has_checker=bool(features.get("has_checker", True)),
+        interpret=bool(features.get("mega_interpret", False)),
+    )
+    return radiance[:n]
+
+
 def trace_rays(scene, features, o, d, time, keys, max_depth: int,
-               differentiable: bool = False):
+               differentiable: bool = False, mega_seed=None):
     """Trace N rays to completion; returns radiance [N,3].
 
     Args:
@@ -102,6 +123,15 @@ def trace_rays(scene, features, o, d, time, keys, max_depth: int,
     bitwise identical) into a buffer `compaction_ratio`× smaller and
     continues. Work drops from depth·N to ≈ Σ phase_len·phase_width.
     """
+    if (
+        not differentiable
+        and mega_seed is not None
+        and features.get("use_megakernel", False)
+        and not features.get("has_media", True)
+        and not features.get("has_noise", True)
+    ):
+        return _trace_megakernel(scene, features, o, d, time, mega_seed, max_depth)
+
     n = o.shape[0]
     background = scene.background
     step = _make_step(scene, features, background)
@@ -177,10 +207,22 @@ def render_sample(scene, features, width: int, height: int, sample_idx, seed,
         scene.camera, width, height, sample_idx, sqrt_spp, keys
     )
 
+    # Megakernel PRNG seed: a distinct scalar per (seed, sample).
+    mega_seed = jnp.int32(seed) * jnp.int32(1000003) + jnp.asarray(sample_idx, jnp.int32)
     tracer = functools.partial(
         trace_rays, scene, features, max_depth=max_depth,
-        differentiable=differentiable,
+        differentiable=differentiable, mega_seed=mega_seed,
     )
+    mega_active = (
+        not differentiable
+        and features.get("use_megakernel", False)
+        and not features.get("has_media", True)
+        and not features.get("has_noise", True)
+    )
+    if mega_active:
+        # The kernel is internally tiled and holds no [rays, prims]
+        # intermediates — chunking would only duplicate PRNG streams.
+        chunk_size = None
     if chunk_size is None or chunk_size >= n:
         radiance = tracer(o, d, time, keys)
     else:
