@@ -36,7 +36,10 @@ def main() -> int:
 
     scene_path = "/root/reference/data/cornell_box_original.json"
     scene_host, dims = loader.load_scene(scene_path)
-    features = tuple(sorted(scene_host.features().items()))
+    feat = scene_host.features()
+    # Megakernel path (the measured-fastest backend for eligible scenes).
+    feat["use_megakernel"] = jax.default_backend() != "cpu"
+    features = tuple(sorted(feat.items()))
     scene = schema.to_device(scene_host)
 
     width, height = dims or (600, 600)
@@ -50,20 +53,31 @@ def main() -> int:
             max_depth, sqrt_spp,
         )
 
+    # Keep single dispatches short: long device steps can wedge
+    # network-attached runtimes.
+    MAX_BATCH = 64
+
+    def timed(s0, n):
+        """Wall time with a forced scalar readback — block_until_ready can
+        return early through the network-attached runtime."""
+        t0 = time.perf_counter()
+        done = 0
+        while done < n:
+            step = min(MAX_BATCH, n - done)
+            val = float(run(scene, jnp.int32(s0 + done), jnp.int32(step)).mean())
+            assert 0.0 < val < 100.0  # sanity: render actually happened
+            done += step
+        return time.perf_counter() - t0
+
     # Warmup / compile (cached persistently across runs).
-    run(scene, jnp.int32(0), jnp.int32(1)).block_until_ready()
+    timed(0, 1)
 
     # Calibrate to a ~5-20 s measurement.
     iters = 4
-    t0 = time.perf_counter()
-    run(scene, jnp.int32(1), jnp.int32(iters)).block_until_ready()
-    dt = time.perf_counter() - t0
+    dt = timed(1, iters)
     if dt < 4.0:
-        iters2 = max(int(iters * 8.0 / dt), 8)
-        t0 = time.perf_counter()
-        run(scene, jnp.int32(1 + iters), jnp.int32(iters2)).block_until_ready()
-        dt = time.perf_counter() - t0
-        iters = iters2
+        iters = min(max(int(iters * 8.0 / dt), 8), 512)
+        dt = timed(1 + 4, iters)
 
     paths_per_sec = iters * width * height / dt
     print(

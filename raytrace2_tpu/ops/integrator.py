@@ -92,11 +92,13 @@ def _trace_megakernel(scene, features, o, d, time, seed_lane, max_depth):
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
         time = jnp.pad(time, (0, pad))
-    tables = mk.pack_tables(scene)
+    sizes = tuple(features["mega_sizes"])
+    tables = mk.pack_tables(scene, sizes)
     radiance = mk.trace_megakernel(
         o, d, time, seed_lane, tables, scene.background,
         max_depth=max_depth,
         has_checker=bool(features.get("has_checker", True)),
+        sizes=sizes,
         interpret=bool(features.get("mega_interpret", False)),
     )
     return radiance[:n]
@@ -127,6 +129,7 @@ def trace_rays(scene, features, o, d, time, keys, max_depth: int,
         not differentiable
         and mega_seed is not None
         and features.get("use_megakernel", False)
+        and features.get("mega_sizes") is not None
         and not features.get("has_media", True)
         and not features.get("has_noise", True)
     ):

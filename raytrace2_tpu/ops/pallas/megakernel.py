@@ -4,34 +4,31 @@ Motivation (measured on v5e): the XLA bounce loop reaches ~23 M
 ray-segments/s while its components benched standalone run at 260–650 M —
 the integrated loop is dominated by HBM round-trips between the fused
 sub-steps (state arrays re-read/re-written every bounce). This kernel keeps
-a 1024-ray tile's ENTIRE path state in VMEM/registers for all bounces:
-per-bounce HBM traffic is zero; the only HBM I/O is the initial ray load
-and the final radiance store.
+a 1024-ray tile's ENTIRE path state in VMEM/registers for all bounces: the
+only HBM I/O is the initial ray load and the final radiance store.
 
-Scope (feature-gated; the XLA path remains for the rest): spheres + quads,
-all six material types, solid + checker textures. Scenes with constant
-media or Perlin noise fall back to the XLA integrator
-(integrator.trace_rays dispatches).
+Mosaic-idiomatic structure (v2 — v1 used [8,128,P] broadcasts whose
+relayouts made it ~1000x too slow on real hardware):
 
-Structure per grid step (one [8,128] ray tile):
-  while any(alive) and bounce < max_depth:
-    1. closest hit: stream primitive tiles (VPU broadcast tests, running
-       min/argmin) — same math as ops/intersect.py / the reference
-       (src/cpu_raytrace/Sphere.cpp:7-26, Quad.cpp:19-43).
-    2. record: ONE-HOT EXTRACTION sweep — a second pass over primitive
-       tiles accumulating the winner's parameters under (p == best_idx)
-       masks. TPU has no per-lane gather; a masked sweep over VMEM-resident
-       tables is cheaper than emulated gathers.
-    3. materials/textures: same one-hot extraction over the (tiny) tables;
-       checker resolved by parity then a second extraction for the child.
-    4. RNG: an in-kernel murmur3-finalizer counter hash keyed by
-       (seed, global ray slot, draw counter) — portable (works in interpret
-       mode), data-independent, and a pure function of ray identity like
-       the XLA path's threefry (statistically equivalent, not bitwise).
-    5. scatter/emit update — elementwise (Material.cpp semantics).
+* Ray state is 2-D [8,128] vregs. Primitive/material/texture tables live in
+  SMEM; the closest-hit sweep loops over primitives reading SCALAR params
+  (free broadcast against vregs) — no 3-D intermediates, no cross-lane
+  reductions, no relayouts.
+* The winning record (center/radius or normal, material) is CARRIED through
+  the sweep under the `closer` mask — no argmin, no gather, no second pass.
+* Materials/textures resolve the same way: a scalar loop over the (tiny)
+  tables with equality masks.
+* RNG: murmur3 counter hash keyed by (seed, global ray slot, draw counter) —
+  portable (interpret mode works), data-independent, pure function of ray
+  identity (statistically equivalent to the XLA path's threefry, not
+  bitwise).
+* Per-tile early exit: `while any(alive) and bounce < max_depth`.
 
-Per-tile early exit replaces global compaction: a tile stops as soon as its
-own 1024 rays are all dead.
+Scope (feature-gated; integrator falls back to the XLA path otherwise):
+spheres + quads, all six material types, solid + checker textures, and
+tables small enough for SMEM (≤ ~512 primitive records). Reference
+semantics: src/cpu_raytrace/Sphere.cpp:7-26, Quad.cpp:19-43,
+Material.cpp, Texture.cpp:7-11.
 """
 
 from __future__ import annotations
@@ -49,60 +46,74 @@ BIG = 3.0e38
 LANES = 128
 SUBLANES = 8
 TILE_R = SUBLANES * LANES
-TILE_P = 128
 
-_SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat", "act")
+# SMEM budget gate: primitive records beyond this fall back to the XLA path.
+MAX_SMEM_RECORDS = 640
+
+_SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat")
 _QUAD_KEYS = ("nx", "ny", "nz", "d", "aax", "aay", "aaz", "abx", "aby",
-              "abz", "qaa", "qab", "mat", "act")
+              "abz", "qaa", "qab", "mat")
 _MAT_KEYS = ("mtype", "alr", "alg", "alb", "param", "tex")
 _TEX_KEYS = ("ttype", "alr", "alg", "alb", "inv_scale", "even", "odd")
 
 
-def pack_tables(scene):
-    """Pack scene tables into lane-padded [1, P] f32 rows (trace-time)."""
-    def row(x):
-        x = x.astype(jnp.float32)
-        pad = -x.shape[0] % TILE_P
-        return jnp.pad(x, (0, pad))[None, :]
+def table_sizes(scene):
+    """(n_spheres, n_quads, n_mats, n_texs) ACTIVE record counts (host)."""
+    import numpy as np
+
+    return (
+        int(np.asarray(scene.spheres.active).sum()),
+        int(np.asarray(scene.quads.active).sum()),
+        scene.materials.mtype.shape[0],
+        scene.textures.ttype.shape[0],
+    )
+
+
+def pack_tables(scene, sizes):
+    """Pack ACTIVE records into dense f32 SMEM rows (trace-time).
+
+    The loader packs active records as a prefix (padding after), so the
+    static counts in ``sizes`` select them with plain slices — no dynamic
+    masking, works under jit.
+    """
+    n_sph, n_quad, _, _ = sizes
+    s_idx = slice(0, max(n_sph, 1))
+    q_idx = slice(0, max(n_quad, 1))
+
+    def f32(x):
+        return x.astype(jnp.float32)
 
     sp = scene.spheres
     sph = dict(
-        c0x=row(sp.center0[:, 0]), c0y=row(sp.center0[:, 1]), c0z=row(sp.center0[:, 2]),
-        dpx=row(sp.displacement[:, 0]), dpy=row(sp.displacement[:, 1]),
-        dpz=row(sp.displacement[:, 2]),
-        rad=row(sp.radius), mat=row(sp.material), act=row(sp.active),
+        c0x=f32(sp.center0[s_idx, 0]), c0y=f32(sp.center0[s_idx, 1]),
+        c0z=f32(sp.center0[s_idx, 2]),
+        dpx=f32(sp.displacement[s_idx, 0]), dpy=f32(sp.displacement[s_idx, 1]),
+        dpz=f32(sp.displacement[s_idx, 2]),
+        rad=f32(sp.radius[s_idx]), mat=f32(sp.material[s_idx]),
     )
     q = scene.quads
     a_alpha = jnp.cross(q.v, q.w)
     a_beta = jnp.cross(q.w, q.u)
     qd = dict(
-        nx=row(q.normal[:, 0]), ny=row(q.normal[:, 1]), nz=row(q.normal[:, 2]),
-        d=row(q.d),
-        aax=row(a_alpha[:, 0]), aay=row(a_alpha[:, 1]), aaz=row(a_alpha[:, 2]),
-        abx=row(a_beta[:, 0]), aby=row(a_beta[:, 1]), abz=row(a_beta[:, 2]),
-        qaa=row(jnp.sum(q.q * a_alpha, -1)), qab=row(jnp.sum(q.q * a_beta, -1)),
-        mat=row(q.material), act=row(q.active),
+        nx=f32(q.normal[q_idx, 0]), ny=f32(q.normal[q_idx, 1]), nz=f32(q.normal[q_idx, 2]),
+        d=f32(q.d[q_idx]),
+        aax=f32(a_alpha[q_idx, 0]), aay=f32(a_alpha[q_idx, 1]), aaz=f32(a_alpha[q_idx, 2]),
+        abx=f32(a_beta[q_idx, 0]), aby=f32(a_beta[q_idx, 1]), abz=f32(a_beta[q_idx, 2]),
+        qaa=f32(jnp.sum(q.q * a_alpha, -1)[q_idx]), qab=f32(jnp.sum(q.q * a_beta, -1)[q_idx]),
+        mat=f32(q.material[q_idx]),
     )
     m = scene.materials
     mats = dict(
-        mtype=row(m.mtype), alr=row(m.albedo[:, 0]), alg=row(m.albedo[:, 1]),
-        alb=row(m.albedo[:, 2]), param=row(m.param), tex=row(m.tex),
+        mtype=f32(m.mtype), alr=f32(m.albedo[:, 0]), alg=f32(m.albedo[:, 1]),
+        alb=f32(m.albedo[:, 2]), param=f32(m.param), tex=f32(m.tex),
     )
     t = scene.textures
     texs = dict(
-        ttype=row(t.ttype), alr=row(t.albedo[:, 0]), alg=row(t.albedo[:, 1]),
-        alb=row(t.albedo[:, 2]), inv_scale=row(t.inv_scale),
-        even=row(t.even), odd=row(t.odd),
+        ttype=f32(t.ttype), alr=f32(t.albedo[:, 0]), alg=f32(t.albedo[:, 1]),
+        alb=f32(t.albedo[:, 2]), inv_scale=f32(t.inv_scale),
+        even=f32(t.even), odd=f32(t.odd),
     )
     return sph, qd, mats, texs
-
-
-def _uniform_from_bits(bits):
-    """uint32 → U[0,1) float32 using the top 24 bits. Mosaic has no
-    uint32→f32 cast; after the shift the value fits in 31 bits, so bitcast
-    to int32 first."""
-    i = jax.lax.bitcast_convert_type(bits >> jnp.uint32(8), jnp.int32)
-    return i.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
 def _mix(x):
@@ -115,37 +126,24 @@ def _mix(x):
     return x
 
 
-def _extract(table_ref, key_names, idx, n_tiles):
-    """One-hot extraction: for each lane, pull table[k][idx] for every k in
-    key_names by sweeping the table tiles with (p == idx) masks."""
-    accs = [jnp.zeros(idx.shape, jnp.float32) for _ in key_names]
-
-    def body(i, accs):
-        off = i * TILE_P
-        pids = off + jax.lax.broadcasted_iota(jnp.int32, (1, 1, TILE_P), 2)
-        sel = (idx[:, :, None] == pids).astype(jnp.float32)   # [8,128,P]
-        out = []
-        for acc, name in zip(accs, key_names):
-            vals = table_ref[name][0, pl.ds(off, TILE_P)][None, None, :]
-            out.append(acc + jnp.sum(sel * vals, axis=-1))
-        return out
-
-    return jax.lax.fori_loop(0, n_tiles, body, accs)
+def _uniform_from_bits(bits):
+    """uint32 → U[0,1) via the top 24 bits (int32 bitcast: Mosaic has no
+    uint32→f32 cast)."""
+    i = jax.lax.bitcast_convert_type(bits >> jnp.uint32(8), jnp.int32)
+    return i.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def _render_kernel(refs_in, refs_out, *, max_depth, n_sph_tiles, n_quad_tiles,
-                   n_mat_tiles, n_tex_tiles, has_checker):
+def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_mat,
+                   n_tex, has_checker):
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r, seed_r, bg_r,
      sph, qd, mats, texs) = refs_in
-    bg = (bg_r[0], bg_r[1], bg_r[2])
     out_r, out_g, out_b = refs_out
 
-    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
-    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+    ox0, oy0, oz0 = ox_r[:], oy_r[:], oz_r[:]
+    dx0, dy0, dz0 = dx_r[:], dy_r[:], dz_r[:]
     tm = tm_r[:]
-    shape = ox.shape
+    shape = ox0.shape
 
-    # Counter-hash RNG: per-ray base key from (seed, global ray slot).
     slot = (
         pl.program_id(0) * TILE_R
         + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
@@ -154,151 +152,159 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph_tiles, n_quad_tiles,
     ray_key = _mix(slot * jnp.uint32(0x9E3779B9) ^ _mix(seed_r[0].astype(jnp.uint32)))
 
     def draw(ctr):
-        """One U[0,1) per lane for draw counter ``ctr`` (traced int)."""
         c = jnp.asarray(ctr).astype(jnp.uint32)
         bits = _mix(ray_key ^ _mix(c * jnp.uint32(0x9E3779B9) + jnp.uint32(1)))
         return _uniform_from_bits(bits)
 
-    def closest_hit(ox, oy, oz, dx, dy, dz):
-        a = dx * dx + dy * dy + dz * dz
-        inv_a = 1.0 / a
-        best_t = jnp.full(shape, BIG)
-        best_idx = jnp.full(shape, -1, jnp.int32)   # global prim id; quads offset
-        t_min = jnp.float32(float(defs.T_MIN))
-
-        def sph_body(i, carry):
-            best_t, best_idx = carry
-            off = i * TILE_P
-
-            def ld(name):
-                return sph[name][0, pl.ds(off, TILE_P)][None, None, :]
-
-            cx = ld("c0x") + tm[:, :, None] * ld("dpx")
-            cy = ld("c0y") + tm[:, :, None] * ld("dpy")
-            cz = ld("c0z") + tm[:, :, None] * ld("dpz")
-            ocx = cx - ox[:, :, None]
-            ocy = cy - oy[:, :, None]
-            ocz = cz - oz[:, :, None]
-            h = dx[:, :, None] * ocx + dy[:, :, None] * ocy + dz[:, :, None] * ocz
-            r = ld("rad")
-            cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            disc = h * h - a[:, :, None] * cc
-            has = disc >= 0.0
-            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
-            r0 = (h - sq) * inv_a[:, :, None]
-            r1 = (h + sq) * inv_a[:, :, None]
-            ok0 = (r0 > t_min) & (r0 < best_t[:, :, None])
-            ok1 = (r1 > t_min) & (r1 < best_t[:, :, None])
-            root = jnp.where(ok0, r0, r1)
-            hit = has & (ok0 | ok1) & (ld("act") > 0)
-            ts = jnp.where(hit, root, BIG)
-            tb = jnp.min(ts, -1)
-            ta = jnp.argmin(ts, -1).astype(jnp.int32) + off
-            closer = tb < best_t
-            return jnp.where(closer, tb, best_t), jnp.where(closer, ta, best_idx)
-
-        best_t, best_idx = jax.lax.fori_loop(
-            0, n_sph_tiles, sph_body, (best_t, best_idx)
-        )
-        n_sph = n_sph_tiles * TILE_P
-
-        def quad_body(i, carry):
-            best_t, best_idx = carry
-            off = i * TILE_P
-
-            def ld(name):
-                return qd[name][0, pl.ds(off, TILE_P)][None, None, :]
-
-            nd = dx[:, :, None] * ld("nx") + dy[:, :, None] * ld("ny") + dz[:, :, None] * ld("nz")
-            no = ox[:, :, None] * ld("nx") + oy[:, :, None] * ld("ny") + oz[:, :, None] * ld("nz")
-            not_par = jnp.abs(nd) >= jnp.float32(float(defs.QUAD_EPS))
-            t = (ld("d") - no) / jnp.where(not_par, nd, 1.0)
-            o_aa = ox[:, :, None] * ld("aax") + oy[:, :, None] * ld("aay") + oz[:, :, None] * ld("aaz")
-            d_aa = dx[:, :, None] * ld("aax") + dy[:, :, None] * ld("aay") + dz[:, :, None] * ld("aaz")
-            o_ab = ox[:, :, None] * ld("abx") + oy[:, :, None] * ld("aby") + oz[:, :, None] * ld("abz")
-            d_ab = dx[:, :, None] * ld("abx") + dy[:, :, None] * ld("aby") + dz[:, :, None] * ld("abz")
-            alpha = o_aa + t * d_aa - ld("qaa")
-            beta = o_ab + t * d_ab - ld("qab")
-            hit = (
-                not_par & (t >= t_min) & (t <= best_t[:, :, None])
-                & (alpha >= 0.0) & (alpha <= 1.0)
-                & (beta >= 0.0) & (beta <= 1.0)
-                & (ld("act") > 0)
-            )
-            ts = jnp.where(hit, t, BIG)
-            tb = jnp.min(ts, -1)
-            ta = jnp.argmin(ts, -1).astype(jnp.int32) + off + n_sph
-            closer = tb < best_t
-            return jnp.where(closer, tb, best_t), jnp.where(closer, ta, best_idx)
-
-        best_t, best_idx = jax.lax.fori_loop(
-            0, n_quad_tiles, quad_body, (best_t, best_idx)
-        )
-        return best_t, best_idx, n_sph
-
-    def tex_value(tex_idx, px, py, pz):
-        """Solid + (optionally) depth-1 checker (Texture.cpp:7-11)."""
-        t_fields = _extract(texs, ("ttype", "alr", "alg", "alb", "inv_scale",
-                                   "even", "odd"), tex_idx, n_tex_tiles)
-        ttype, alr, alg, alb, inv_s, even, odd = t_fields
-        if not has_checker:
-            return alr, alg, alb
-        fx = jnp.floor(inv_s * px).astype(jnp.int32)
-        fy = jnp.floor(inv_s * py).astype(jnp.int32)
-        fz = jnp.floor(inv_s * pz).astype(jnp.int32)
-        is_even = (jnp.abs(fx + fy + fz) % 2) == 0
-        child = jnp.where(is_even, even, odd).astype(jnp.int32)
-        is_chk = ttype == float(defs.TEX_CHECKER)
-        leaf = jnp.where(is_chk, child, tex_idx)
-        c_alr, c_alg, c_alb = _extract(texs, ("alr", "alg", "alb"), leaf, n_tex_tiles)
-        return c_alr, c_alg, c_alb
+    t_min = jnp.float32(float(defs.T_MIN))
+    quad_eps = jnp.float32(float(defs.QUAD_EPS))
 
     def body(carry):
-        (bounce, alive_f, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb) = carry
+        (bounce, alive_f, ox, oy, oz, dx, dy, dz,
+         tpr, tpg, tpb, rr, rg, rb) = carry
         alive = alive_f > 0.0
 
-        best_t, best_idx, n_sph = closest_hit(ox, oy, oz, dx, dy, dz)
-        valid = best_t < BIG
-        is_sph = valid & (best_idx < n_sph)
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
 
-        # --- record reconstruction via one-hot sweeps -------------------
-        sph_idx = jnp.where(is_sph, best_idx, 0)
-        s_c0x, s_c0y, s_c0z, s_dpx, s_dpy, s_dpz, s_rad, s_mat = _extract(
-            sph, ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat"),
-            sph_idx, n_sph_tiles,
+        # ---- closest hit: scalar sweep, record carried under the mask ----
+        # rec: best_t, fam(0 sphere/1 quad as f32), mat, p0..p2 (center|normal), aux(radius)
+        def sph_body(p, rec):
+            best_t, fam, mat, r0_, r1_, r2_, aux = rec
+            cx = sph["c0x"][p] + tm * sph["dpx"][p]
+            cy = sph["c0y"][p] + tm * sph["dpy"][p]
+            cz = sph["c0z"][p] + tm * sph["dpz"][p]
+            ocx = cx - ox
+            ocy = cy - oy
+            ocz = cz - oz
+            h = dx * ocx + dy * ocy + dz * ocz
+            rad = sph["rad"][p]
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+            disc = h * h - a * cc
+            has = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            root0 = (h - sq) * inv_a
+            root1 = (h + sq) * inv_a
+            ok0 = (root0 > t_min) & (root0 < best_t)
+            ok1 = (root1 > t_min) & (root1 < best_t)
+            root = jnp.where(ok0, root0, root1)
+            closer = has & (ok0 | ok1)
+            return (
+                jnp.where(closer, root, best_t),
+                jnp.where(closer, 0.0, fam),
+                jnp.where(closer, sph["mat"][p], mat),
+                jnp.where(closer, cx, r0_),
+                jnp.where(closer, cy, r1_),
+                jnp.where(closer, cz, r2_),
+                jnp.where(closer, rad, aux),
+            )
+
+        rec = (
+            jnp.full(shape, BIG), jnp.full(shape, -1.0), jnp.zeros(shape),
+            jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
+            jnp.ones(shape),
         )
-        quad_idx = jnp.where(is_sph | ~valid, 0, best_idx - n_sph)
-        q_nx, q_ny, q_nz, q_mat = _extract(
-            qd, ("nx", "ny", "nz", "mat"), quad_idx, n_quad_tiles
-        )
+        rec = jax.lax.fori_loop(0, n_sph, sph_body, rec) if n_sph else rec
+
+        def quad_body(p, rec):
+            best_t, fam, mat, r0_, r1_, r2_, aux = rec
+            nx = qd["nx"][p]
+            ny = qd["ny"][p]
+            nz = qd["nz"][p]
+            nd = dx * nx + dy * ny + dz * nz
+            no = ox * nx + oy * ny + oz * nz
+            not_par = jnp.abs(nd) >= quad_eps
+            t = (qd["d"][p] - no) / jnp.where(not_par, nd, 1.0)
+            o_aa = ox * qd["aax"][p] + oy * qd["aay"][p] + oz * qd["aaz"][p]
+            d_aa = dx * qd["aax"][p] + dy * qd["aay"][p] + dz * qd["aaz"][p]
+            o_ab = ox * qd["abx"][p] + oy * qd["aby"][p] + oz * qd["abz"][p]
+            d_ab = dx * qd["abx"][p] + dy * qd["aby"][p] + dz * qd["abz"][p]
+            alpha = o_aa + t * d_aa - qd["qaa"][p]
+            beta = o_ab + t * d_ab - qd["qab"][p]
+            closer = (
+                not_par & (t >= t_min) & (t <= best_t)
+                & (alpha >= 0.0) & (alpha <= 1.0)
+                & (beta >= 0.0) & (beta <= 1.0)
+            )
+            return (
+                jnp.where(closer, t, best_t),
+                jnp.where(closer, 1.0, fam),
+                jnp.where(closer, qd["mat"][p], mat),
+                jnp.where(closer, nx, r0_),
+                jnp.where(closer, ny, r1_),
+                jnp.where(closer, nz, r2_),
+                aux,
+            )
+
+        rec = jax.lax.fori_loop(0, n_quad, quad_body, rec) if n_quad else rec
+        best_t, fam, matf, p0, p1, p2, aux = rec
+        valid = fam >= 0.0
+        is_sph = fam == 0.0
 
         px = ox + best_t * dx
         py = oy + best_t * dy
         pz = oz + best_t * dz
-        # Outward normal: sphere (p-c)/r, quad plane normal.
-        rad_safe = jnp.where(s_rad != 0.0, s_rad, 1.0)
-        cxs = s_c0x + tm * s_dpx
-        cys = s_c0y + tm * s_dpy
-        czs = s_c0z + tm * s_dpz
-        onx = jnp.where(is_sph, (px - cxs) / rad_safe, q_nx)
-        ony = jnp.where(is_sph, (py - cys) / rad_safe, q_ny)
-        onz = jnp.where(is_sph, (pz - czs) / rad_safe, q_nz)
+        rad_safe = jnp.where(aux != 0.0, aux, 1.0)
+        onx = jnp.where(is_sph, (px - p0) / rad_safe, p0)
+        ony = jnp.where(is_sph, (py - p1) / rad_safe, p1)
+        onz = jnp.where(is_sph, (pz - p2) / rad_safe, p2)
         front = (dx * onx + dy * ony + dz * onz) < 0.0
         sgn = jnp.where(front, 1.0, -1.0)
         nx_, ny_, nz_ = sgn * onx, sgn * ony, sgn * onz
-        mat_idx = jnp.where(is_sph, s_mat, q_mat).astype(jnp.int32)
-        mat_idx = jnp.where(valid, mat_idx, 0)
 
-        mtype, alr, alg, alb, mparam, mtex = _extract(
-            mats, _MAT_KEYS, mat_idx, n_mat_tiles
+        # ---- material resolve: scalar sweep over the material table ------
+        def mat_body(k, acc):
+            mtype, alr, alg, alb, mparam, mtex = acc
+            sel = matf == k.astype(jnp.float32)
+            return (
+                jnp.where(sel, mats["mtype"][k], mtype),
+                jnp.where(sel, mats["alr"][k], alr),
+                jnp.where(sel, mats["alg"][k], alg),
+                jnp.where(sel, mats["alb"][k], alb),
+                jnp.where(sel, mats["param"][k], mparam),
+                jnp.where(sel, mats["tex"][k], mtex),
+            )
+
+        mtype, alr, alg, alb, mparam, mtex = jax.lax.fori_loop(
+            0, n_mat, mat_body,
+            (jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
+             jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)),
         )
-        t_alr, t_alg, t_alb = tex_value(mtex.astype(jnp.int32), px, py, pz)
 
-        # --- RNG: 3 draws per bounce, counters disjoint per bounce -------
+        # ---- texture resolve (solid + optional checker) ------------------
+        def tex_sweep(idx_f):
+            def tex_body(k, acc):
+                ttype, talr, talg, talb, tinv, tev, tod = acc
+                sel = idx_f == k.astype(jnp.float32)
+                return (
+                    jnp.where(sel, texs["ttype"][k], ttype),
+                    jnp.where(sel, texs["alr"][k], talr),
+                    jnp.where(sel, texs["alg"][k], talg),
+                    jnp.where(sel, texs["alb"][k], talb),
+                    jnp.where(sel, texs["inv_scale"][k], tinv),
+                    jnp.where(sel, texs["even"][k], tev),
+                    jnp.where(sel, texs["odd"][k], tod),
+                )
+
+            return jax.lax.fori_loop(
+                0, n_tex, tex_body,
+                tuple(jnp.zeros(shape) for _ in range(7)),
+            )
+
+        ttype, t_alr, t_alg, t_alb, t_inv, t_even, t_odd = tex_sweep(mtex)
+        if has_checker:
+            fx = jnp.floor(t_inv * px)
+            fy = jnp.floor(t_inv * py)
+            fz = jnp.floor(t_inv * pz)
+            parity = fx + fy + fz - 2.0 * jnp.floor((fx + fy + fz) * 0.5)
+            child = jnp.where(parity == 0.0, t_even, t_odd)
+            leaf = jnp.where(ttype == float(defs.TEX_CHECKER), child, mtex)
+            _, t_alr, t_alg, t_alb, _, _, _ = tex_sweep(leaf)
+
+        # ---- RNG ----------------------------------------------------------
         u1 = draw(3 * bounce)
         u2 = draw(3 * bounce + 1)
         u3 = draw(3 * bounce + 2)
-        # Unit sphere dir from (u1, u2).
         z = 1.0 - 2.0 * u1
         phi = jnp.float32(2.0 * 3.14159265358979) * u2
         rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
@@ -306,7 +312,7 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph_tiles, n_quad_tiles,
         uvy = rxy * jnp.sin(phi)
         uvz = z
 
-        # --- scatter (Material.cpp) -------------------------------------
+        # ---- scatter (Material.cpp semantics) -----------------------------
         is_lamb = (mtype == float(defs.MAT_LAMBERTIAN)) | (mtype == float(defs.MAT_TEXTURE))
         is_metal = mtype == float(defs.MAT_METAL)
         is_diel = mtype == float(defs.MAT_DIELECTRIC)
@@ -314,7 +320,6 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph_tiles, n_quad_tiles,
         is_light = mtype == float(defs.MAT_DIFFUSE_LIGHT)
         uses_tex = (mtype == float(defs.MAT_TEXTURE)) | is_iso
 
-        # Lambertian: normal + unit vec (degenerate → normal).
         ldx, ldy, ldz = nx_ + uvx, ny_ + uvy, nz_ + uvz
         eps = jnp.float32(float(defs.NEAR_ZERO_EPS))
         degen = (jnp.abs(ldx) < eps) & (jnp.abs(ldy) < eps) & (jnp.abs(ldz) < eps)
@@ -322,7 +327,6 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph_tiles, n_quad_tiles,
         ldy = jnp.where(degen, ny_, ldy)
         ldz = jnp.where(degen, nz_, ldz)
 
-        # Metal: normalize(reflect(d, n)) + fuzz·uv.
         dn = dx * nx_ + dy * ny_ + dz * nz_
         rfx = dx - 2.0 * dn * nx_
         rfy = dy - 2.0 * dn * ny_
@@ -332,10 +336,9 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph_tiles, n_quad_tiles,
         mdy = rfy / rlen + mparam * uvy
         mdz = rfz / rlen + mparam * uvz
 
-        # Dielectric.
         param_safe = jnp.where(mparam > 0.0, mparam, 1.0)
         ri = jnp.where(front, 1.0 / param_safe, param_safe)
-        dlen = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
+        dlen = jnp.sqrt(jnp.maximum(a, 1e-24))
         udx, udy, udz = dx / dlen, dy / dlen, dz / dlen
         cos_t = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
         sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
@@ -348,7 +351,6 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph_tiles, n_quad_tiles,
         rfux = udx - 2.0 * udn * nx_
         rfuy = udy - 2.0 * udn * ny_
         rfuz = udz - 2.0 * udn * nz_
-        # refract
         rpx = ri * (udx + cos_t * nx_)
         rpy = ri * (udy + cos_t * ny_)
         rpz = ri * (udz + cos_t * nz_)
@@ -376,9 +378,9 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph_tiles, n_quad_tiles,
         hit_live = alive & valid
         scatter_live = hit_live & ~is_light
 
-        rr = rr + jnp.where(miss, tpr * bg[0], 0.0) + jnp.where(hit_live, tpr * emr, 0.0)
-        rg = rg + jnp.where(miss, tpg * bg[1], 0.0) + jnp.where(hit_live, tpg * emg, 0.0)
-        rb = rb + jnp.where(miss, tpb * bg[2], 0.0) + jnp.where(hit_live, tpb * emb, 0.0)
+        rr = rr + jnp.where(miss, tpr * bg_r[0], 0.0) + jnp.where(hit_live, tpr * emr, 0.0)
+        rg = rg + jnp.where(miss, tpg * bg_r[1], 0.0) + jnp.where(hit_live, tpg * emg, 0.0)
+        rb = rb + jnp.where(miss, tpb * bg_r[2], 0.0) + jnp.where(hit_live, tpb * emb, 0.0)
         tpr = jnp.where(scatter_live, tpr * atr, tpr)
         tpg = jnp.where(scatter_live, tpg * atg, tpg)
         tpb = jnp.where(scatter_live, tpb * atb, tpb)
@@ -388,17 +390,15 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph_tiles, n_quad_tiles,
         dx = jnp.where(scatter_live, ndx, dx)
         dy = jnp.where(scatter_live, ndy, dy)
         dz = jnp.where(scatter_live, ndz, dz)
-        return (bounce + 1, scatter_live.astype(jnp.float32), ox, oy, oz, dx, dy, dz,
-                tpr, tpg, tpb, rr, rg, rb)
+        return (bounce + 1, scatter_live.astype(jnp.float32), ox, oy, oz,
+                dx, dy, dz, tpr, tpg, tpb, rr, rg, rb)
 
     def cond(carry):
         bounce, alive_f = carry[0], carry[1]
-        # Mosaic legalizes f32 carries more readily than bool; max > 0 is
-        # the any() reduction.
         return (bounce < max_depth) & (jnp.max(alive_f) > 0.0)
 
     init = (
-        jnp.int32(0), jnp.ones(shape), ox, oy, oz, dx, dy, dz,
+        jnp.int32(0), jnp.ones(shape), ox0, oy0, oz0, dx0, dy0, dz0,
         jnp.ones(shape), jnp.ones(shape), jnp.ones(shape),
         jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
     )
@@ -410,22 +410,23 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph_tiles, n_quad_tiles,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "has_checker", "interpret"),
+    static_argnames=("max_depth", "has_checker", "sizes", "interpret"),
 )
 def trace_megakernel(o, d, time, seed_lane, tables, background, *,
-                     max_depth, has_checker, interpret=False):
+                     max_depth, has_checker, sizes, interpret=False):
     """Trace N rays fully in-kernel. N must be a multiple of TILE_R.
 
     Args:
-      o, d: [N,3]; time: [N]; seed_lane: [1] int32 PRNG seed (combined with
-        the grid index per tile); tables: pack_tables output;
-        background: [3] f32 (SMEM input).
+      o, d: [N,3]; time: [N]; seed_lane: [1]-broadcastable int32 seed;
+      tables: pack_tables output; background: [3] f32;
+      sizes: static (n_spheres, n_quads, n_mats, n_texs) active counts.
     Returns radiance [N,3].
     """
     n = o.shape[0]
     assert n % TILE_R == 0
     rows = n // LANES
     sph, qd, mats, texs = tables
+    n_sph, n_quad, n_mat, n_tex = sizes
 
     def shape2(x):
         return x.reshape(rows, LANES)
@@ -437,15 +438,11 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
     )
     grid = n // TILE_R
     ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     kw = dict(
         max_depth=max_depth,
-        n_sph_tiles=sph["c0x"].shape[-1] // TILE_P,
-        n_quad_tiles=qd["nx"].shape[-1] // TILE_P,
-        n_mat_tiles=mats["mtype"].shape[-1] // TILE_P,
-        n_tex_tiles=texs["ttype"].shape[-1] // TILE_P,
+        n_sph=n_sph, n_quad=n_quad, n_mat=n_mat, n_tex=n_tex,
         has_checker=has_checker,
     )
 
@@ -467,21 +464,16 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
             (*ray_refs, seed_ref, bg_ref, sph_r, qd_r, mat_r, tex_r), outs, **kw
         )
 
+    n_tables = len(_SPH_KEYS) + len(_QUAD_KEYS) + len(_MAT_KEYS) + len(_TEX_KEYS)
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[ray_spec] * 7 + [seed_spec, seed_spec]
-        + [table_spec] * (len(_SPH_KEYS) + len(_QUAD_KEYS) + len(_MAT_KEYS) + len(_TEX_KEYS)),
+        in_specs=[ray_spec] * 7 + [smem_spec] * (2 + n_tables),
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32) for _ in range(3)
         ),
         interpret=interpret,
-        # The [8,128,TILE_P] sweep intermediates exceed the default 16 MiB
-        # scoped-VMEM budget; v5e has far more physical VMEM.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
     )(
         *ray_args,
         jnp.asarray(seed_lane, jnp.int32).reshape(1),

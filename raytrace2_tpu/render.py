@@ -94,10 +94,23 @@ class Renderer:
 
     def __post_init__(self):
         features = self.scene.features()
-        # Measured on-chip (Cornell 32 records, book1 497 records): XLA's
-        # fused dense formulation beats the current Pallas kernel at every
-        # corpus size, so 'auto' = XLA until the kernel is rearchitected.
         features["use_pallas"] = self.backend == "pallas"
+        # 'auto' picks the Pallas megakernel on TPU when the scene is
+        # eligible (no media/noise, tables fit SMEM) — measured 6.4x over
+        # the compacted XLA loop on v5e; everything else uses XLA.
+        from raytrace2_tpu.ops.pallas import megakernel as mk
+
+        n_records = sum(features["mega_sizes"][:2])
+        eligible = (
+            not features["has_media"]
+            and not features["has_noise"]
+            and n_records <= mk.MAX_SMEM_RECORDS
+        )
+        features["use_megakernel"] = self.backend == "mega" or (
+            self.backend == "auto"
+            and eligible
+            and jax.default_backend() not in ("cpu",)
+        )
         self._features = tuple(sorted(features.items()))
         self.scene = schema.to_device(self.scene)
         self.reset()

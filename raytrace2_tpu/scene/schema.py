@@ -185,12 +185,20 @@ class FlatScene:
     def features(self) -> dict:
         """Static feature gates for the tracer, computed host-side at load
         time. Scenes without media/noise/checker skip those code paths
-        entirely under jit (call before moving the pytree to device)."""
+        entirely under jit (call before moving the pytree to device).
+        ``mega_sizes`` carries the active record counts for the megakernel's
+        static loops."""
         ttypes = np.asarray(self.textures.ttype)
         return {
             "has_media": bool(np.any(np.asarray(self.media.active))),
             "has_noise": bool(np.any(ttypes == 2)),    # defs.TEX_NOISE
             "has_checker": bool(np.any(ttypes == 1)),  # defs.TEX_CHECKER
+            "mega_sizes": (
+                int(np.asarray(self.spheres.active).sum()),
+                int(np.asarray(self.quads.active).sum()),
+                int(self.materials.mtype.shape[0]),
+                int(self.textures.ttype.shape[0]),
+            ),
         }
 
 
