@@ -130,7 +130,6 @@ def trace_rays(scene, features, o, d, time, keys, max_depth: int,
         and mega_seed is not None
         and features.get("use_megakernel", False)
         and features.get("mega_sizes") is not None
-        and not features.get("has_media", True)
         and not features.get("has_noise", True)
     ):
         return _trace_megakernel(scene, features, o, d, time, mega_seed, max_depth)
@@ -219,7 +218,7 @@ def render_sample(scene, features, width: int, height: int, sample_idx, seed,
     mega_active = (
         not differentiable
         and features.get("use_megakernel", False)
-        and not features.get("has_media", True)
+        and features.get("mega_sizes") is not None
         and not features.get("has_noise", True)
     )
     if mega_active:

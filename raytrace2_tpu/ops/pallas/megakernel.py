@@ -53,6 +53,10 @@ MAX_SMEM_RECORDS = 640
 _SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat")
 _QUAD_KEYS = ("nx", "ny", "nz", "d", "aax", "aay", "aaz", "abx", "aby",
               "abz", "qaa", "qab", "mat")
+_MED_KEYS = ("btype", "p0x", "p0y", "p0z", "p1x", "p1y", "p1z",
+             "dspx", "dspy", "dspz",
+             "i00", "i01", "i02", "i03", "i10", "i11", "i12", "i13",
+             "i20", "i21", "i22", "i23", "nid", "mat")
 _MAT_KEYS = ("mtype", "alr", "alg", "alb", "param", "tex")
 _TEX_KEYS = ("ttype", "alr", "alg", "alb", "inv_scale", "even", "odd")
 
@@ -76,9 +80,10 @@ def pack_tables(scene, sizes):
     static counts in ``sizes`` select them with plain slices — no dynamic
     masking, works under jit.
     """
-    n_sph, n_quad, _, _ = sizes
+    n_sph, n_quad, _, _, n_med = sizes
     s_idx = slice(0, max(n_sph, 1))
     q_idx = slice(0, max(n_quad, 1))
+    m_idx = slice(0, max(n_med, 1))
 
     def f32(x):
         return x.astype(jnp.float32)
@@ -102,6 +107,21 @@ def pack_tables(scene, sizes):
         qaa=f32(jnp.sum(q.q * a_alpha, -1)[q_idx]), qab=f32(jnp.sum(q.q * a_beta, -1)[q_idx]),
         mat=f32(q.material[q_idx]),
     )
+    md = scene.media
+    med = dict(
+        btype=f32(md.btype[m_idx]),
+        p0x=f32(md.p0[m_idx, 0]), p0y=f32(md.p0[m_idx, 1]), p0z=f32(md.p0[m_idx, 2]),
+        p1x=f32(md.p1[m_idx, 0]), p1y=f32(md.p1[m_idx, 1]), p1z=f32(md.p1[m_idx, 2]),
+        dspx=f32(md.displacement[m_idx, 0]), dspy=f32(md.displacement[m_idx, 1]),
+        dspz=f32(md.displacement[m_idx, 2]),
+        i00=f32(md.inv_model[m_idx, 0, 0]), i01=f32(md.inv_model[m_idx, 0, 1]),
+        i02=f32(md.inv_model[m_idx, 0, 2]), i03=f32(md.inv_model[m_idx, 0, 3]),
+        i10=f32(md.inv_model[m_idx, 1, 0]), i11=f32(md.inv_model[m_idx, 1, 1]),
+        i12=f32(md.inv_model[m_idx, 1, 2]), i13=f32(md.inv_model[m_idx, 1, 3]),
+        i20=f32(md.inv_model[m_idx, 2, 0]), i21=f32(md.inv_model[m_idx, 2, 1]),
+        i22=f32(md.inv_model[m_idx, 2, 2]), i23=f32(md.inv_model[m_idx, 2, 3]),
+        nid=f32(md.neg_inv_density[m_idx]), mat=f32(md.material[m_idx]),
+    )
     m = scene.materials
     mats = dict(
         mtype=f32(m.mtype), alr=f32(m.albedo[:, 0]), alg=f32(m.albedo[:, 1]),
@@ -113,7 +133,7 @@ def pack_tables(scene, sizes):
         alb=f32(t.albedo[:, 2]), inv_scale=f32(t.inv_scale),
         even=f32(t.even), odd=f32(t.odd),
     )
-    return sph, qd, mats, texs
+    return sph, qd, med, mats, texs
 
 
 def _mix(x):
@@ -133,10 +153,10 @@ def _uniform_from_bits(bits):
     return i.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_mat,
-                   n_tex, has_checker):
+def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
+                   n_mat, n_tex, has_checker):
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r, seed_r, bg_r,
-     sph, qd, mats, texs) = refs_in
+     sph, qd, med, mats, texs) = refs_in
     out_r, out_g, out_b = refs_out
 
     ox0, oy0, oz0 = ox_r[:], oy_r[:], oz_r[:]
@@ -237,9 +257,87 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_mat,
             )
 
         rec = jax.lax.fori_loop(0, n_quad, quad_body, rec) if n_quad else rec
+
+        # Constant media: analytic boundary entry/exit in model space +
+        # exponential free path (ConstantMedium.cpp:14-58; semantics match
+        # ops/intersect._media_ts).
+        draws_pb = 3 + n_med
+
+        def med_body(m, rec):
+            best_t, fam, mat, r0_, r1_, r2_, aux = rec
+            omx = med["i00"][m] * ox + med["i01"][m] * oy + med["i02"][m] * oz + med["i03"][m]
+            omy = med["i10"][m] * ox + med["i11"][m] * oy + med["i12"][m] * oz + med["i13"][m]
+            omz = med["i20"][m] * ox + med["i21"][m] * oy + med["i22"][m] * oz + med["i23"][m]
+            dmx_r = med["i00"][m] * dx + med["i01"][m] * dy + med["i02"][m] * dz
+            dmy_r = med["i10"][m] * dx + med["i11"][m] * dy + med["i12"][m] * dz
+            dmz_r = med["i20"][m] * dx + med["i21"][m] * dy + med["i22"][m] * dz
+            dm_len = jnp.sqrt(jnp.maximum(dmx_r * dmx_r + dmy_r * dmy_r + dmz_r * dmz_r, 1e-24))
+            dmx = dmx_r / dm_len
+            dmy = dmy_r / dm_len
+            dmz = dmz_r / dm_len
+
+            # Sphere boundary (moving center).
+            cx = med["p0x"][m] + tm * med["dspx"][m]
+            cy = med["p0y"][m] + tm * med["dspy"][m]
+            cz = med["p0z"][m] + tm * med["dspz"][m]
+            ocx = cx - omx
+            ocy = cy - omy
+            ocz = cz - omz
+            h = dmx * ocx + dmy * ocy + dmz * ocz
+            r = med["p1x"][m]
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = h * h - cc
+            s_valid = disc > 0.0
+            sq = jnp.sqrt(jnp.where(s_valid, disc, 0.0))
+            s_t0 = h - sq
+            s_t1 = h + sq
+
+            # Box boundary (slabs, safe reciprocal).
+            def slab(dmc, omc, lo, hi):
+                d_safe = jnp.where(jnp.abs(dmc) < 1e-12,
+                                   jnp.where(dmc < 0, -1e-12, 1e-12), dmc)
+                inv = 1.0 / d_safe
+                ta = (lo - omc) * inv
+                tb = (hi - omc) * inv
+                return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+            bx0, bx1 = slab(dmx, omx, med["p0x"][m], med["p1x"][m])
+            by0, by1 = slab(dmy, omy, med["p0y"][m], med["p1y"][m])
+            bz0, bz1 = slab(dmz, omz, med["p0z"][m], med["p1z"][m])
+            b_t0 = jnp.maximum(bx0, jnp.maximum(by0, bz0))
+            b_t1 = jnp.minimum(bx1, jnp.minimum(by1, bz1))
+            b_valid = b_t0 < b_t1
+
+            is_box = med["btype"][m] == float(defs.MEDIUM_BOX)
+            t0_ = jnp.where(is_box, b_t0, s_t0)
+            t1_ = jnp.where(is_box, b_t1, s_t1)
+            v = jnp.where(is_box, b_valid, s_valid)
+            v = v & (t1_ > t0_ + jnp.float32(float(defs.MEDIUM_EPS)))
+
+            d_len = jnp.sqrt(jnp.maximum(a, 1e-24))
+            scale = dm_len / d_len                       # model units per world t
+            e0 = jnp.maximum(jnp.maximum(t0_, t_min * scale), 0.0)
+            e1 = jnp.minimum(t1_, best_t * scale)
+            v = v & (e0 < e1)
+            u_m = draw(draws_pb * bounce + 3 + m)
+            hit_dist = med["nid"][m] * jnp.log(jnp.maximum(u_m, 1e-12))
+            v = v & (hit_dist <= (e1 - e0))
+            t_world = (e0 + hit_dist) / scale
+            return (
+                jnp.where(v, t_world, best_t),
+                jnp.where(v, 2.0, fam),
+                jnp.where(v, med["mat"][m], mat),
+                jnp.where(v, 1.0, r0_),   # fixed normal (1,0,0)
+                jnp.where(v, 0.0, r1_),
+                jnp.where(v, 0.0, r2_),
+                aux,
+            )
+
+        rec = jax.lax.fori_loop(0, n_med, med_body, rec) if n_med else rec
         best_t, fam, matf, p0, p1, p2, aux = rec
         valid = fam >= 0.0
         is_sph = fam == 0.0
+        is_med = fam == 2.0
 
         px = ox + best_t * dx
         py = oy + best_t * dy
@@ -248,8 +346,11 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_mat,
         onx = jnp.where(is_sph, (px - p0) / rad_safe, p0)
         ony = jnp.where(is_sph, (py - p1) / rad_safe, p1)
         onz = jnp.where(is_sph, (pz - p2) / rad_safe, p2)
-        front = (dx * onx + dy * ony + dz * onz) < 0.0
-        sgn = jnp.where(front, 1.0, -1.0)
+        front_geom = (dx * onx + dy * ony + dz * onz) < 0.0
+        # Medium scatter: arbitrary fixed normal, always front-face
+        # (ConstantMedium.cpp:50-55).
+        front = front_geom | is_med
+        sgn = jnp.where(is_med, 1.0, jnp.where(front_geom, 1.0, -1.0))
         nx_, ny_, nz_ = sgn * onx, sgn * ony, sgn * onz
 
         # ---- material resolve: scalar sweep over the material table ------
@@ -302,9 +403,9 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_mat,
             _, t_alr, t_alg, t_alb, _, _, _ = tex_sweep(leaf)
 
         # ---- RNG ----------------------------------------------------------
-        u1 = draw(3 * bounce)
-        u2 = draw(3 * bounce + 1)
-        u3 = draw(3 * bounce + 2)
+        u1 = draw(draws_pb * bounce)
+        u2 = draw(draws_pb * bounce + 1)
+        u3 = draw(draws_pb * bounce + 2)
         z = 1.0 - 2.0 * u1
         phi = jnp.float32(2.0 * 3.14159265358979) * u2
         rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
@@ -425,8 +526,8 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
     n = o.shape[0]
     assert n % TILE_R == 0
     rows = n // LANES
-    sph, qd, mats, texs = tables
-    n_sph, n_quad, n_mat, n_tex = sizes
+    sph, qd, med, mats, texs = tables
+    n_sph, n_quad, n_mat, n_tex, n_med = sizes
 
     def shape2(x):
         return x.reshape(rows, LANES)
@@ -442,7 +543,7 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
 
     kw = dict(
         max_depth=max_depth,
-        n_sph=n_sph, n_quad=n_quad, n_mat=n_mat, n_tex=n_tex,
+        n_sph=n_sph, n_quad=n_quad, n_med=n_med, n_mat=n_mat, n_tex=n_tex,
         has_checker=has_checker,
     )
 
@@ -455,16 +556,20 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
         pos += len(_SPH_KEYS)
         qd_r = dict(zip(_QUAD_KEYS, refs[pos:pos + len(_QUAD_KEYS)]))
         pos += len(_QUAD_KEYS)
+        med_r = dict(zip(_MED_KEYS, refs[pos:pos + len(_MED_KEYS)]))
+        pos += len(_MED_KEYS)
         mat_r = dict(zip(_MAT_KEYS, refs[pos:pos + len(_MAT_KEYS)]))
         pos += len(_MAT_KEYS)
         tex_r = dict(zip(_TEX_KEYS, refs[pos:pos + len(_TEX_KEYS)]))
         pos += len(_TEX_KEYS)
         outs = refs[pos:pos + 3]
         _render_kernel(
-            (*ray_refs, seed_ref, bg_ref, sph_r, qd_r, mat_r, tex_r), outs, **kw
+            (*ray_refs, seed_ref, bg_ref, sph_r, qd_r, med_r, mat_r, tex_r),
+            outs, **kw,
         )
 
-    n_tables = len(_SPH_KEYS) + len(_QUAD_KEYS) + len(_MAT_KEYS) + len(_TEX_KEYS)
+    n_tables = (len(_SPH_KEYS) + len(_QUAD_KEYS) + len(_MED_KEYS)
+                + len(_MAT_KEYS) + len(_TEX_KEYS))
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -480,6 +585,7 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
         jnp.asarray(background, jnp.float32),
         *(sph[k] for k in _SPH_KEYS),
         *(qd[k] for k in _QUAD_KEYS),
+        *(med[k] for k in _MED_KEYS),
         *(mats[k] for k in _MAT_KEYS),
         *(texs[k] for k in _TEX_KEYS),
     )

@@ -100,10 +100,9 @@ class Renderer:
         # the compacted XLA loop on v5e; everything else uses XLA.
         from raytrace2_tpu.ops.pallas import megakernel as mk
 
-        n_records = sum(features["mega_sizes"][:2])
+        n_records = sum(features["mega_sizes"][:2]) + features["mega_sizes"][4]
         eligible = (
-            not features["has_media"]
-            and not features["has_noise"]
+            not features["has_noise"]
             and n_records <= mk.MAX_SMEM_RECORDS
         )
         features["use_megakernel"] = self.backend == "mega" or (

@@ -198,6 +198,7 @@ class FlatScene:
                 int(np.asarray(self.quads.active).sum()),
                 int(self.materials.mtype.shape[0]),
                 int(self.textures.ttype.shape[0]),
+                int(np.asarray(self.media.active).sum()),
             ),
         }
 

@@ -86,6 +86,21 @@ def test_cornell_statistical_agreement(data_dir):
 
 
 @pytest.mark.slow
+def test_cornell_volume_media_statistical(data_dir):
+    """Constant-media support in-kernel vs the XLA path (cornell volume)."""
+    scene, _ = loader.load_scene(f"{data_dir}/cornell_box_volume.json")
+    feat = scene.features()
+    a = _render(scene, feat, 24, 24, 12, 10, mega=False)
+    b = _render(scene, feat, 24, 24, 12, 10, mega=True)
+    from raytrace2_tpu.io import compare
+
+    da = compare.downsample(a, 6)
+    db = compare.downsample(b, 6)
+    np.testing.assert_allclose(da.mean(), db.mean(), rtol=0.1)
+    np.testing.assert_allclose(da, db, atol=0.25)
+
+
+@pytest.mark.slow
 def test_mixed_materials_statistical(tmp_path):
     """Metal + dielectric + checker floor + light: exercise every kernel
     branch and compare means against the XLA path."""
