@@ -155,23 +155,27 @@ def _uniform_from_bits(bits):
 
 def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
                    n_mat, n_tex, has_checker):
-    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r, seed_r, bg_r,
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r, rid_r, bn_r, al_r,
+     tpr_r, tpg_r, tpb_r, seed_r, bg_r, ma_r,
      sph, qd, med, mats, texs) = refs_in
-    out_r, out_g, out_b = refs_out
+    bg = (bg_r[0], bg_r[1], bg_r[2])
+    (out_rr, out_rg, out_rb, out_ox, out_oy, out_oz, out_dx, out_dy,
+     out_dz, out_tpr, out_tpg, out_tpb, out_bn, out_al) = refs_out
 
     ox0, oy0, oz0 = ox_r[:], oy_r[:], oz_r[:]
     dx0, dy0, dz0 = dx_r[:], dy_r[:], dz_r[:]
     tm = tm_r[:]
     shape = ox0.shape
+    min_alive = ma_r[0].astype(jnp.float32)
 
-    slot = (
-        pl.program_id(0) * TILE_R
-        + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    ).astype(jnp.uint32)
+    # Stable per-ray id (original pixel-order slot) — carried through
+    # compaction so each ray's RNG stream is a pure function of its identity
+    # regardless of which tile it currently occupies.
+    slot = jax.lax.bitcast_convert_type(rid_r[:], jnp.uint32)
     ray_key = _mix(slot * jnp.uint32(0x9E3779B9) ^ _mix(seed_r[0].astype(jnp.uint32)))
 
     def draw(ctr):
+        # ctr may be a per-lane array (per-ray bounce counters).
         c = jnp.asarray(ctr).astype(jnp.uint32)
         bits = _mix(ray_key ^ _mix(c * jnp.uint32(0x9E3779B9) + jnp.uint32(1)))
         return _uniform_from_bits(bits)
@@ -179,10 +183,12 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
     t_min = jnp.float32(float(defs.T_MIN))
     quad_eps = jnp.float32(float(defs.QUAD_EPS))
 
+    max_depth_f = jnp.float32(max_depth)
+
     def body(carry):
         (bounce, alive_f, ox, oy, oz, dx, dy, dz,
          tpr, tpg, tpb, rr, rg, rb) = carry
-        alive = alive_f > 0.0
+        alive = (alive_f > 0.0) & (bounce < max_depth_f)
 
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
@@ -319,7 +325,7 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
             e0 = jnp.maximum(jnp.maximum(t0_, t_min * scale), 0.0)
             e1 = jnp.minimum(t1_, best_t * scale)
             v = v & (e0 < e1)
-            u_m = draw(draws_pb * bounce + 3 + m)
+            u_m = draw(bounce.astype(jnp.int32) * draws_pb + 3 + m)
             hit_dist = med["nid"][m] * jnp.log(jnp.maximum(u_m, 1e-12))
             v = v & (hit_dist <= (e1 - e0))
             t_world = (e0 + hit_dist) / scale
@@ -402,10 +408,11 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
             leaf = jnp.where(ttype == float(defs.TEX_CHECKER), child, mtex)
             _, t_alr, t_alg, t_alb, _, _, _ = tex_sweep(leaf)
 
-        # ---- RNG ----------------------------------------------------------
-        u1 = draw(draws_pb * bounce)
-        u2 = draw(draws_pb * bounce + 1)
-        u3 = draw(draws_pb * bounce + 2)
+        # ---- RNG: per-ray counters from the per-ray bounce index ----------
+        bctr = bounce.astype(jnp.int32) * draws_pb
+        u1 = draw(bctr)
+        u2 = draw(bctr + 1)
+        u3 = draw(bctr + 2)
         z = 1.0 - 2.0 * u1
         phi = jnp.float32(2.0 * 3.14159265358979) * u2
         rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
@@ -491,39 +498,55 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         dx = jnp.where(scatter_live, ndx, dx)
         dy = jnp.where(scatter_live, ndy, dy)
         dz = jnp.where(scatter_live, ndz, dz)
-        return (bounce + 1, scatter_live.astype(jnp.float32), ox, oy, oz,
+        bounce = bounce + jnp.where(alive, 1.0, 0.0)
+        return (bounce, scatter_live.astype(jnp.float32), ox, oy, oz,
                 dx, dy, dz, tpr, tpg, tpb, rr, rg, rb)
 
     def cond(carry):
         bounce, alive_f = carry[0], carry[1]
-        return (bounce < max_depth) & (jnp.max(alive_f) > 0.0)
+        live = jnp.where((alive_f > 0.0) & (bounce < max_depth_f), 1.0, 0.0)
+        # Stop once the tile's live count drops to min_alive (0 = run dry):
+        # the host then compacts survivors across tiles and re-enters.
+        return jnp.sum(live) > min_alive
 
     init = (
-        jnp.int32(0), jnp.ones(shape), ox0, oy0, oz0, dx0, dy0, dz0,
-        jnp.ones(shape), jnp.ones(shape), jnp.ones(shape),
+        bn_r[:], al_r[:], ox0, oy0, oz0, dx0, dy0, dz0,
+        tpr_r[:], tpg_r[:], tpb_r[:],
         jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
     )
     final = jax.lax.while_loop(cond, body, init)
-    out_r[:] = final[11]
-    out_g[:] = final[12]
-    out_b[:] = final[13]
+    (bn_f, al_f, ox_f, oy_f, oz_f, dx_f, dy_f, dz_f,
+     tpr_f, tpg_f, tpb_f, rr_f, rg_f, rb_f) = final
+    out_rr[:] = rr_f
+    out_rg[:] = rg_f
+    out_rb[:] = rb_f
+    out_ox[:] = ox_f
+    out_oy[:] = oy_f
+    out_oz[:] = oz_f
+    out_dx[:] = dx_f
+    out_dy[:] = dy_f
+    out_dz[:] = dz_f
+    out_tpr[:] = tpr_f
+    out_tpg[:] = tpg_f
+    out_tpb[:] = tpb_f
+    out_bn[:] = bn_f
+    out_al[:] = al_f
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_depth", "has_checker", "sizes", "interpret"),
 )
-def trace_megakernel(o, d, time, seed_lane, tables, background, *,
-                     max_depth, has_checker, sizes, interpret=False):
-    """Trace N rays fully in-kernel. N must be a multiple of TILE_R.
+def megakernel_pass(state, seed_lane, min_alive, tables, background, *,
+                    max_depth, has_checker, sizes, interpret=False):
+    """One kernel pass over a ray-state dict; each tile runs its bounce loop
+    until its live count drops to ``min_alive`` (0 = run dry).
 
-    Args:
-      o, d: [N,3]; time: [N]; seed_lane: [1]-broadcastable int32 seed;
-      tables: pack_tables output; background: [3] f32;
-      sizes: static (n_spheres, n_quads, n_mats, n_texs) active counts.
-    Returns radiance [N,3].
+    ``state`` holds [N]-shaped leaves: ox..dz (o/d components), tm, rid
+    (stable ray id driving the RNG stream), bounce, alive, tpr/tpg/tpb.
+    Returns (radiance [N,3] contributed THIS pass, new state dict).
     """
-    n = o.shape[0]
+    n = state["ox"].shape[0]
     assert n % TILE_R == 0
     rows = n // LANES
     sph, qd, med, mats, texs = tables
@@ -532,10 +555,10 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
     def shape2(x):
         return x.reshape(rows, LANES)
 
-    ray_args = (
-        shape2(o[:, 0]), shape2(o[:, 1]), shape2(o[:, 2]),
-        shape2(d[:, 0]), shape2(d[:, 1]), shape2(d[:, 2]),
-        shape2(time),
+    ray_args = tuple(
+        shape2(state[k]) for k in
+        ("ox", "oy", "oz", "dx", "dy", "dz", "tm", "rid", "bounce", "alive",
+         "tpr", "tpg", "tpb")
     )
     grid = n // TILE_R
     ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -548,10 +571,11 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
     )
 
     def kern(*refs):
-        ray_refs = refs[:7]
-        seed_ref = refs[7]
-        bg_ref = refs[8]
-        pos = 9
+        ray_refs = refs[:13]
+        seed_ref = refs[13]
+        bg_ref = refs[14]
+        ma_ref = refs[15]
+        pos = 16
         sph_r = dict(zip(_SPH_KEYS, refs[pos:pos + len(_SPH_KEYS)]))
         pos += len(_SPH_KEYS)
         qd_r = dict(zip(_QUAD_KEYS, refs[pos:pos + len(_QUAD_KEYS)]))
@@ -562,9 +586,14 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
         pos += len(_MAT_KEYS)
         tex_r = dict(zip(_TEX_KEYS, refs[pos:pos + len(_TEX_KEYS)]))
         pos += len(_TEX_KEYS)
-        outs = refs[pos:pos + 3]
+        outs = refs[pos:pos + 14]
+        # Kernel reads o/d/tm then rid/bounce/alive/throughput.
+        (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r, rid_r, bn_r, al_r,
+         tpr_r, tpg_r, tpb_r) = ray_refs
         _render_kernel(
-            (*ray_refs, seed_ref, bg_ref, sph_r, qd_r, med_r, mat_r, tex_r),
+            (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r, rid_r, bn_r, al_r,
+             tpr_r, tpg_r, tpb_r, seed_ref, bg_ref, ma_ref,
+             sph_r, qd_r, med_r, mat_r, tex_r),
             outs, **kw,
         )
 
@@ -573,20 +602,86 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[ray_spec] * 7 + [smem_spec] * (2 + n_tables),
-        out_specs=(ray_spec, ray_spec, ray_spec),
+        in_specs=[ray_spec] * 13 + [smem_spec] * (3 + n_tables),
+        out_specs=tuple(ray_spec for _ in range(14)),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32) for _ in range(3)
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32) for _ in range(14)
         ),
         interpret=interpret,
+        # The scalar-sweep intermediates exceed the default 16 MiB scoped
+        # VMEM budget at wide tiles; v5e has far more physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         *ray_args,
         jnp.asarray(seed_lane, jnp.int32).reshape(1),
         jnp.asarray(background, jnp.float32),
+        jnp.asarray(min_alive, jnp.int32).reshape(1),
         *(sph[k] for k in _SPH_KEYS),
         *(qd[k] for k in _QUAD_KEYS),
         *(med[k] for k in _MED_KEYS),
         *(mats[k] for k in _MAT_KEYS),
         *(texs[k] for k in _TEX_KEYS),
     )
-    return jnp.stack([x.reshape(n) for x in outs], axis=-1)
+    flat = [x.reshape(n) for x in outs]
+    radiance = jnp.stack(flat[0:3], axis=-1)
+    new_state = dict(
+        state,
+        ox=flat[3], oy=flat[4], oz=flat[5],
+        dx=flat[6], dy=flat[7], dz=flat[8],
+        tpr=flat[9], tpg=flat[10], tpb=flat[11],
+        bounce=flat[12], alive=flat[13],
+    )
+    return radiance, new_state
+
+
+def init_state(o, d, time):
+    """Fresh ray state for N camera rays (N multiple of TILE_R)."""
+    n = o.shape[0]
+    rid = jnp.arange(n, dtype=jnp.int32)
+    zeros = jnp.zeros(n, jnp.float32)
+    ones = jnp.ones(n, jnp.float32)
+    return dict(
+        ox=o[:, 0], oy=o[:, 1], oz=o[:, 2],
+        dx=d[:, 0], dy=d[:, 1], dz=d[:, 2],
+        tm=time,
+        rid=jax.lax.bitcast_convert_type(rid, jnp.float32),
+        bounce=zeros, alive=ones, tpr=ones, tpg=ones, tpb=ones,
+    )
+
+
+def trace_megakernel(o, d, time, seed_lane, tables, background, *,
+                     max_depth, has_checker, sizes, interpret=False,
+                     phases=3, compaction_ratio=8):
+    """Trace N rays to completion with cross-tile compaction between kernel
+    passes: each pass stops a tile once its live count falls to 1/ratio of
+    the tile, the host gathers survivors (per-ray bounce counters and rid
+    keep RNG streams exact), and re-enters on an 8x smaller buffer.
+    Returns radiance [N,3].
+    """
+    n = o.shape[0]
+    assert n % TILE_R == 0
+    state = init_state(o, d, time)
+    radiance_full = jnp.zeros((n, 3), jnp.float32)
+    idx_map = jnp.arange(n, dtype=jnp.int32)
+    kw = dict(max_depth=max_depth, has_checker=has_checker, sizes=sizes,
+              interpret=interpret)
+
+    width = n
+    for phase in range(phases):
+        cap_next = (width // compaction_ratio // TILE_R) * TILE_R
+        last = phase == phases - 1 or cap_next < TILE_R
+        min_alive = 0 if last else TILE_R // compaction_ratio
+        radiance, state = megakernel_pass(
+            state, seed_lane, min_alive, tables, background, **kw
+        )
+        radiance_full = radiance_full.at[idx_map].add(radiance)
+        if last:
+            break
+        live = (state["alive"] > 0.0) & (state["bounce"] < max_depth)
+        order = jnp.argsort(~live, stable=True)[:cap_next]
+        idx_map = idx_map[order]
+        state = {k: v[order] for k, v in state.items()}
+        width = cap_next
+    return radiance_full

@@ -85,6 +85,32 @@ def test_cornell_statistical_agreement(data_dir):
     np.testing.assert_allclose(da, db, atol=0.25)
 
 
+def test_phased_equals_single_pass(data_dir):
+    """Cross-tile compaction must not change results: per-ray RNG streams
+    are keyed by stable ray ids, so phased == single-pass bitwise."""
+    import jax.numpy as jnp
+    from raytrace2_tpu.ops.pallas import megakernel as mk
+    from raytrace2_tpu.ops import camera as cam_ops, rng
+
+    scene, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
+    feat = scene.features()
+    dev = schema.to_device(scene)
+    n = 2 * mk.TILE_R
+    keys = jax.vmap(lambda p: rng.pixel_sample_key(0, p, 0))(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    o, d, t = cam_ops.generate_rays(dev.camera, 64, 32, jnp.int32(0), 1, keys)
+    sizes = tuple(feat["mega_sizes"])
+    tables = mk.pack_tables(dev, sizes)
+    kw = dict(max_depth=20, has_checker=False, sizes=sizes, interpret=True)
+
+    single = mk.trace_megakernel(o, d, t, 7, tables, dev.background,
+                                 phases=1, **kw)
+    phased = mk.trace_megakernel(o, d, t, 7, tables, dev.background,
+                                 phases=3, compaction_ratio=4, **kw)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(phased))
+
+
 @pytest.mark.slow
 def test_cornell_volume_media_statistical(data_dir):
     """Constant-media support in-kernel vs the XLA path (cornell volume)."""
