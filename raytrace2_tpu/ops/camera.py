@@ -68,7 +68,7 @@ def stratum(sample_idx, sqrt_spp):
 
 
 def generate_rays(cam, width: int, height: int, sample_idx, sqrt_spp, keys,
-                  pixel_ids=None):
+                  pixel_ids=None, uniforms=None):
     """Rays for a set of pixels at one stratified sample.
 
     Args:
@@ -90,11 +90,14 @@ def generate_rays(cam, width: int, height: int, sample_idx, sqrt_spp, keys,
     ys = (pixel_ids // width).astype(jnp.float32)
 
     s_i, s_j = stratum(sample_idx, sqrt_spp)
-    # One threefry draw per ray covers jitter(2) + defocus disk(2) + time(1).
-    # Camera draw id 0x7FFFFFFF is disjoint from the bounce ids (0..max_depth).
-    u = jax.vmap(
-        lambda k: jax.random.uniform(jax.random.fold_in(k, 0x7FFFFFFF), (5,))
-    )(keys)
+    if uniforms is None:
+        # One threefry draw per ray covers jitter(2) + defocus disk(2) +
+        # time(1). Camera draw id 0x7FFFFFFF is disjoint from bounce ids.
+        u = jax.vmap(
+            lambda k: jax.random.uniform(jax.random.fold_in(k, 0x7FFFFFFF), (5,))
+        )(keys)
+    else:
+        u = uniforms  # [N,5] from the caller's (cheaper) generator
     # Stratified jitter inside the (s_i, s_j) cell (Camera.hpp:52-58).
     recip = 1.0 / sqrt_spp
     px = (s_i + u[:, 0]) * recip - 0.5

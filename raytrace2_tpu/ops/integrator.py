@@ -204,17 +204,9 @@ def render_sample(scene, features, width: int, height: int, sample_idx, seed,
     """
     n = width * height
     pixel_ids = jnp.arange(n, dtype=jnp.int32)
-    keys = jax.vmap(lambda p: rng.pixel_sample_key(seed, p, sample_idx))(pixel_ids)
-    o, d, time = camera_ops.generate_rays(
-        scene.camera, width, height, sample_idx, sqrt_spp, keys
-    )
 
     # Megakernel PRNG seed: a distinct scalar per (seed, sample).
     mega_seed = jnp.int32(seed) * jnp.int32(1000003) + jnp.asarray(sample_idx, jnp.int32)
-    tracer = functools.partial(
-        trace_rays, scene, features, max_depth=max_depth,
-        differentiable=differentiable, mega_seed=mega_seed,
-    )
     mega_active = (
         not differentiable
         and features.get("use_megakernel", False)
@@ -222,9 +214,30 @@ def render_sample(scene, features, width: int, height: int, sample_idx, seed,
         and not features.get("has_noise", True)
     )
     if mega_active:
+        # Camera uniforms from the kernel's counter-hash family — the whole
+        # sample needs zero threefry work; keys are unused by the kernel.
+        cam_u = rng.murmur_uniforms(
+            mega_seed, pixel_ids,
+            tuple(rng.CAMERA_CTR_BASE + k for k in range(5)),
+        )
+        keys = None
+        o, d, time = camera_ops.generate_rays(
+            scene.camera, width, height, sample_idx, sqrt_spp, None,
+            uniforms=cam_u,
+        )
         # The kernel is internally tiled and holds no [rays, prims]
         # intermediates — chunking would only duplicate PRNG streams.
         chunk_size = None
+    else:
+        keys = jax.vmap(lambda p: rng.pixel_sample_key(seed, p, sample_idx))(pixel_ids)
+        o, d, time = camera_ops.generate_rays(
+            scene.camera, width, height, sample_idx, sqrt_spp, keys
+        )
+
+    tracer = functools.partial(
+        trace_rays, scene, features, max_depth=max_depth,
+        differentiable=differentiable, mega_seed=mega_seed,
+    )
     if chunk_size is None or chunk_size >= n:
         radiance = tracer(o, d, time, keys)
     else:

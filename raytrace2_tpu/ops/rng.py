@@ -96,6 +96,46 @@ def bounce_uniforms(keys, bounce_idx, n_draws: int):
     )(keys)
 
 
+def murmur_mix(x):
+    """murmur3 fmix32 (vectorized uint32) — the cheap counter-hash used by
+    the megakernel path; ~10 integer ops vs ~40+ rounds for threefry."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def murmur_uniforms(mega_seed, pixel_ids, ctrs):
+    """U[0,1) draws from the megakernel's counter-hash family: a pure
+    function of (seed·sample, pixel id, counter) — layout-invariant like the
+    threefry path, at a fraction of the cost.
+
+    Args:
+      mega_seed: traced i32 scalar (seed·1000003 + sample).
+      pixel_ids: [N] i32; ctrs: tuple of static ints (draw counters).
+    Returns [N, len(ctrs)] f32.
+    """
+    slot = pixel_ids.astype(jnp.uint32)
+    key = murmur_mix(
+        slot * jnp.uint32(0x9E3779B9)
+        ^ murmur_mix(jnp.asarray(mega_seed).astype(jnp.uint32))
+    )
+    cols = []
+    for c in ctrs:
+        bits = murmur_mix(
+            key ^ murmur_mix(jnp.uint32(c) * jnp.uint32(0x9E3779B9) + jnp.uint32(1))
+        )
+        cols.append((bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24)))
+    return jnp.stack(cols, axis=-1)
+
+
+# Camera draws use counters far above any bounce counter
+# (bounce·draws_pb + k stays < ~2^16 for max_depth 50).
+CAMERA_CTR_BASE = 0x40000000
+
+
 def on_hemisphere(key, normal):
     """Uniform direction on the hemisphere around ``normal``
     (src/cpu_raytrace/Math.hpp:45-51)."""
