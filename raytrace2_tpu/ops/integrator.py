@@ -100,6 +100,8 @@ def _trace_megakernel(scene, features, o, d, time, seed_lane, max_depth):
         has_checker=bool(features.get("has_checker", True)),
         sizes=sizes,
         interpret=bool(features.get("mega_interpret", False)),
+        phases=int(features.get("mega_phases", 2)),
+        compaction_ratio=int(features.get("mega_ratio", 16)),
     )
     return radiance[:n]
 

@@ -317,7 +317,8 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
             is_box = med["btype"][m] == float(defs.MEDIUM_BOX)
             t0_ = jnp.where(is_box, b_t0, s_t0)
             t1_ = jnp.where(is_box, b_t1, s_t1)
-            v = jnp.where(is_box, b_valid, s_valid)
+            # Mosaic cannot select between i1 vectors; combine logically.
+            v = (is_box & b_valid) | (~is_box & s_valid)
             v = v & (t1_ > t0_ + jnp.float32(float(defs.MEDIUM_EPS)))
 
             d_len = jnp.sqrt(jnp.maximum(a, 1e-24))

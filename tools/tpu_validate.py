@@ -16,9 +16,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -29,8 +33,6 @@ def main() -> int:
     p.add_argument("--data", default="/root/reference/data")
     p.add_argument("--out", default="/tmp/tpu_validate")
     args = p.parse_args()
-
-    import os
 
     os.makedirs(args.out, exist_ok=True)
 
