@@ -54,8 +54,9 @@ def main() -> int:
         )
 
     # Keep single dispatches short: long device steps can wedge
-    # network-attached runtimes.
-    MAX_BATCH = 64
+    # network-attached runtimes. (128 samples ≈ 0.35 s device time with the
+    # v4 path-regeneration kernel.)
+    MAX_BATCH = 128
 
     def timed(s0, n):
         """Wall time with a forced scalar readback — block_until_ready can

@@ -266,6 +266,40 @@ def render_sample(scene, features, width: int, height: int, sample_idx, seed,
     return radiance.reshape(height, width, 3)
 
 
+def _render_batch_megakernel(scene, features, width, height, sample0,
+                             n_samples, seed, max_depth, sqrt_spp):
+    """Batched v4 path-regeneration render: every lane owns a pixel and
+    regenerates dead rays with its next sample in-kernel — one kernel launch
+    per batch (see ops/pallas/megakernel.py v4). Returns the radiance SUM
+    over the batch's samples, [H,W,3]."""
+    from raytrace2_tpu.ops.pallas import megakernel as mk
+
+    n = width * height
+    n_pad = ((n + mk.TILE_R - 1) // mk.TILE_R) * mk.TILE_R
+    frame = camera_ops.camera_frame(scene.camera, width, height)
+    camv = jnp.concatenate([
+        frame["pixel00"], frame["pixel_delta_u"], frame["pixel_delta_v"],
+        frame["center"], frame["defocus_disk_u"], frame["defocus_disk_v"],
+        jnp.stack([
+            frame["defocus_angle"].astype(jnp.float32),
+            jnp.float32(width), jnp.float32(n),
+            jnp.asarray(sample0, jnp.float32),
+            jnp.asarray(n_samples, jnp.float32),
+            jnp.float32(sqrt_spp), jnp.float32(seed),
+        ]),
+    ])
+    sizes = tuple(features["mega_sizes"])
+    tables = mk.pack_tables(scene, sizes)
+    radiance = mk.trace_megakernel_batch(
+        camv, tables, scene.background,
+        n_rays=n_pad, max_depth=max_depth,
+        has_checker=bool(features.get("has_checker", True)),
+        sizes=sizes,
+        interpret=bool(features.get("mega_interpret", False)),
+    )
+    return radiance[:n].reshape(height, width, 3)
+
+
 def render_progressive(scene, features, width: int, height: int, sample0,
                        n_samples, seed, max_depth: int, sqrt_spp: int,
                        chunk_size: int | None = None,
@@ -279,6 +313,17 @@ def render_progressive(scene, features, width: int, height: int, sample0,
     the program amortizes dispatch to zero. ``n_samples`` may be traced (the
     loop lowers to a while), so one compilation serves every batch size.
     """
+    if (
+        not differentiable
+        and features.get("use_megakernel", False)
+        and features.get("mega_sizes") is not None
+        and not features.get("has_noise", True)
+    ):
+        return _render_batch_megakernel(
+            scene, features, width, height, sample0, n_samples, seed,
+            max_depth, sqrt_spp,
+        )
+
     def body(i, acc):
         return acc + render_sample(
             scene, features, width, height, sample0 + i, seed, max_depth,

@@ -44,7 +44,7 @@ from raytrace2_tpu import defs
 
 BIG = 3.0e38
 LANES = 128
-SUBLANES = 8
+SUBLANES = 32  # 32x128 ray tiles measured fastest (fewer grid steps)
 TILE_R = SUBLANES * LANES
 
 # SMEM budget gate: primitive records beyond this fall back to the XLA path.
@@ -153,42 +153,25 @@ def _uniform_from_bits(bits):
     return i.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
-                   n_mat, n_tex, has_checker):
-    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r, rid_r, bn_r, al_r,
-     tpr_r, tpg_r, tpb_r, seed_r, bg_r, ma_r,
-     sph, qd, med, mats, texs) = refs_in
-    bg = (bg_r[0], bg_r[1], bg_r[2])
-    (out_rr, out_rg, out_rb, out_ox, out_oy, out_oz, out_dx, out_dy,
-     out_dz, out_tpr, out_tpg, out_tpb, out_bn, out_al) = refs_out
-
-    ox0, oy0, oz0 = ox_r[:], oy_r[:], oz_r[:]
-    dx0, dy0, dz0 = dx_r[:], dy_r[:], dz_r[:]
-    tm = tm_r[:]
-    shape = ox0.shape
-    min_alive = ma_r[0].astype(jnp.float32)
-
-    # Stable per-ray id (original pixel-order slot) — carried through
-    # compaction so each ray's RNG stream is a pure function of its identity
-    # regardless of which tile it currently occupies.
-    slot = jax.lax.bitcast_convert_type(rid_r[:], jnp.uint32)
-    ray_key = _mix(slot * jnp.uint32(0x9E3779B9) ^ _mix(seed_r[0].astype(jnp.uint32)))
-
-    def draw(ctr):
-        # ctr may be a per-lane array (per-ray bounce counters).
-        c = jnp.asarray(ctr).astype(jnp.uint32)
-        bits = _mix(ray_key ^ _mix(c * jnp.uint32(0x9E3779B9) + jnp.uint32(1)))
-        return _uniform_from_bits(bits)
-
+def _make_bounce(sph, qd, med, mats, texs, bg_r, *, max_depth, n_sph,
+                 n_quad, n_med, n_mat, n_tex, has_checker, shape):
+    """Build the per-bounce transition shared by the v3 (state-passing)
+    and v4 (path-regeneration) kernels. ``key`` is the per-lane RNG key
+    for the CURRENT (pixel, sample); ``tm`` the per-lane shutter time."""
     t_min = jnp.float32(float(defs.T_MIN))
     quad_eps = jnp.float32(float(defs.QUAD_EPS))
-
     max_depth_f = jnp.float32(max_depth)
 
-    def body(carry):
+    def bounce(key, tm, carry):
+        def draw(ctr):
+            c = jnp.asarray(ctr).astype(jnp.uint32)
+            bits = _mix(key ^ _mix(c * jnp.uint32(0x9E3779B9) + jnp.uint32(1)))
+            return _uniform_from_bits(bits)
+
         (bounce, alive_f, ox, oy, oz, dx, dy, dz,
          tpr, tpg, tpb, rr, rg, rb) = carry
-        alive = (alive_f > 0.0) & (bounce < max_depth_f)
+        # alive_f already encodes the depth cap (folded in at update time).
+        alive = alive_f > 0.0
 
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
@@ -500,15 +483,51 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         dy = jnp.where(scatter_live, ndy, dy)
         dz = jnp.where(scatter_live, ndz, dz)
         bounce = bounce + jnp.where(alive, 1.0, 0.0)
-        return (bounce, scatter_live.astype(jnp.float32), ox, oy, oz,
+        next_alive = scatter_live & (bounce < max_depth_f)
+        return (bounce, next_alive.astype(jnp.float32), ox, oy, oz,
                 dx, dy, dz, tpr, tpg, tpb, rr, rg, rb)
 
+    return bounce
+
+
+def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
+                   n_mat, n_tex, has_checker):
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r, rid_r, bn_r, al_r,
+     tpr_r, tpg_r, tpb_r, seed_r, bg_r, ma_r,
+     sph, qd, med, mats, texs) = refs_in
+    bg = (bg_r[0], bg_r[1], bg_r[2])
+    (out_rr, out_rg, out_rb, out_ox, out_oy, out_oz, out_dx, out_dy,
+     out_dz, out_tpr, out_tpg, out_tpb, out_bn, out_al) = refs_out
+
+    ox0, oy0, oz0 = ox_r[:], oy_r[:], oz_r[:]
+    dx0, dy0, dz0 = dx_r[:], dy_r[:], dz_r[:]
+    tm = tm_r[:]
+    shape = ox0.shape
+    min_alive = ma_r[0].astype(jnp.float32)
+
+    # Stable per-ray id (original pixel-order slot) — carried through
+    # compaction so each ray's RNG stream is a pure function of its identity
+    # regardless of which tile it currently occupies.
+    slot = jax.lax.bitcast_convert_type(rid_r[:], jnp.uint32)
+    ray_key = _mix(slot * jnp.uint32(0x9E3779B9) ^ _mix(seed_r[0].astype(jnp.uint32)))
+
+
+
+
+    bounce = _make_bounce(
+        sph, qd, med, mats, texs, bg_r,
+        max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
+        n_mat=n_mat, n_tex=n_tex, has_checker=has_checker, shape=shape,
+    )
+
+    def body(carry):
+        return bounce(ray_key, tm, carry)
+
     def cond(carry):
-        bounce, alive_f = carry[0], carry[1]
-        live = jnp.where((alive_f > 0.0) & (bounce < max_depth_f), 1.0, 0.0)
+        alive_f = carry[1]
         # Stop once the tile's live count drops to min_alive (0 = run dry):
         # the host then compacts survivors across tiles and re-enters.
-        return jnp.sum(live) > min_alive
+        return jnp.sum(alive_f) > min_alive
 
     init = (
         bn_r[:], al_r[:], ox0, oy0, oz0, dx0, dy0, dz0,
@@ -686,3 +705,208 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
         state = {k: v[order] for k, v in state.items()}
         width = cap_next
     return radiance_full
+
+
+# ---------------------------------------------------------------------------
+# v4: PATH REGENERATION — samples loop inside the kernel
+# ---------------------------------------------------------------------------
+#
+# v3 launches one kernel pass per progressive sample and pays the bounce
+# tail (a tile runs until its LAST ray dies) plus per-sample XLA glue.
+# v4 keeps every lane busy instead: each lane owns one pixel; when its ray
+# terminates, the lane immediately regenerates the camera ray for its NEXT
+# sample in-kernel (camera math + stratified jitter + defocus + shutter time
+# from the same counter-hash streams the XLA path uses). Iterations per
+# batch drop from n_samples x max_depth to ~n_samples x mean_path + drain.
+# Radiance accumulates across a lane's samples, which is exactly the
+# progressive-accumulator contribution.
+
+# camv layout (f32 SMEM): 0:3 pixel00, 3:6 pixel_delta_u, 6:9 pixel_delta_v,
+# 9:12 center, 12:15 defocus_disk_u, 15:18 defocus_disk_v, 18 defocus_angle,
+# 19 width, 20 n_pix, 21 s0, 22 n_samples, 23 sqrt_spp, 24 seed
+_CAMV_LEN = 25
+
+
+def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
+                      n_mat, n_tex, has_checker):
+    (camv, bg_r, sph, qd, med, mats, texs) = refs_in
+    out_rr, out_rg, out_rb = refs_out
+    shape = (SUBLANES, LANES)
+
+    slot_i = (
+        pl.program_id(0) * TILE_R
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    )
+    slot_u = slot_i.astype(jnp.uint32)
+    slot_f = slot_i.astype(jnp.float32)
+    width = camv[19]
+    n_pix = camv[20]
+    s0 = camv[21]
+    n_samples = camv[22]
+    sqrt_spp = camv[23]
+    seed = camv[24]
+    yy = jnp.floor(slot_f / width)
+    xx = slot_f - yy * width
+
+    in_grid = slot_f < n_pix
+
+    def key_for(s_global_f):
+        """Per-lane key = mix(pixel·G ^ mix(seed·1000003 + s)) — the same
+        construction as rng.murmur_uniforms / the v3 seed plumbing."""
+        mega = (seed * 1000003.0 + s_global_f).astype(jnp.int32).astype(jnp.uint32)
+        return _mix(slot_u * jnp.uint32(0x9E3779B9) ^ _mix(mega))
+
+    def cam_draw(key, k):
+        c = jnp.uint32(0x40000000 + k)
+        bits = _mix(key ^ _mix(c * jnp.uint32(0x9E3779B9) + jnp.uint32(1)))
+        return _uniform_from_bits(bits)
+
+    def camera(s_global_f, key):
+        """In-kernel Camera::GetRay (Camera.hpp:50-67)."""
+        u0 = cam_draw(key, 0)
+        u1 = cam_draw(key, 1)
+        u2 = cam_draw(key, 2)
+        u3 = cam_draw(key, 3)
+        u4 = cam_draw(key, 4)
+        k1 = jnp.floor(s_global_f / sqrt_spp)
+        s_i = s_global_f - k1 * sqrt_spp
+        s_j = k1 - jnp.floor(k1 / sqrt_spp) * sqrt_spp
+        recip = 1.0 / sqrt_spp
+        pxj = (s_i + u0) * recip - 0.5
+        pyj = (s_j + u1) * recip - 0.5
+        pcx = camv[0] + (xx + pxj) * camv[3] + (yy + pyj) * camv[6]
+        pcy = camv[1] + (xx + pxj) * camv[4] + (yy + pyj) * camv[7]
+        pcz = camv[2] + (xx + pxj) * camv[5] + (yy + pyj) * camv[8]
+        # Defocus disk (polar map).
+        r = jnp.sqrt(u2)
+        th = jnp.float32(2.0 * 3.14159265358979) * u3
+        dkx = r * jnp.cos(th)
+        dky = r * jnp.sin(th)
+        use_disk = camv[18] > 0.0
+        ox_ = jnp.where(use_disk, camv[9] + dkx * camv[12] + dky * camv[15], camv[9])
+        oy_ = jnp.where(use_disk, camv[10] + dkx * camv[13] + dky * camv[16], camv[10])
+        oz_ = jnp.where(use_disk, camv[11] + dkx * camv[14] + dky * camv[17], camv[11])
+        ddx = pcx - ox_
+        ddy = pcy - oy_
+        ddz = pcz - oz_
+        inv_len = jax.lax.rsqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-24))
+        return (ox_, oy_, oz_, ddx * inv_len, ddy * inv_len, ddz * inv_len, u4)
+
+    bounce = _make_bounce(
+        sph, qd, med, mats, texs, bg_r,
+        max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
+        n_mat=n_mat, n_tex=n_tex, has_checker=has_checker, shape=shape,
+    )
+
+    zero = jnp.zeros(shape)
+
+    def body(carry):
+        (s_lane, bn, al, ox, oy, oz, dx, dy, dz, tm,
+         tpr, tpg, tpb, rr, rg, rb) = carry
+        need = (al <= 0.0) & (s_lane < n_samples - 1.0) & in_grid
+        s_new = s_lane + jnp.where(need, 1.0, 0.0)
+        key = key_for(s0 + s_new)
+        cox, coy, coz, cdx, cdy, cdz, ctm = camera(s0 + s_new, key)
+        ox = jnp.where(need, cox, ox)
+        oy = jnp.where(need, coy, oy)
+        oz = jnp.where(need, coz, oz)
+        dx = jnp.where(need, cdx, dx)
+        dy = jnp.where(need, cdy, dy)
+        dz = jnp.where(need, cdz, dz)
+        tm = jnp.where(need, ctm, tm)
+        bn = jnp.where(need, 0.0, bn)
+        al = jnp.where(need, 1.0, al)
+        tpr = jnp.where(need, 1.0, tpr)
+        tpg = jnp.where(need, 1.0, tpg)
+        tpb = jnp.where(need, 1.0, tpb)
+        (bn, al, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb) = bounce(
+            key, tm, (bn, al, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb)
+        )
+        return (s_new, bn, al, ox, oy, oz, dx, dy, dz, tm,
+                tpr, tpg, tpb, rr, rg, rb)
+
+    def cond(carry):
+        s_lane, bn, al = carry[0], carry[1], carry[2]
+        runnable = jnp.where((al > 0.0) | ((s_lane < n_samples - 1.0) & in_grid), 1.0, 0.0)
+        return jnp.sum(runnable) > 0.0
+
+    init = (
+        jnp.full(shape, -1.0), zero, zero,            # s_lane, bounce, alive
+        zero, zero, zero, zero, zero, zero, zero,     # o, d, tm
+        zero, zero, zero,                             # throughput
+        zero, zero, zero,                             # radiance
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    out_rr[:] = final[13]
+    out_rg[:] = final[14]
+    out_rb[:] = final[15]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rays", "max_depth", "has_checker", "sizes", "interpret"),
+)
+def trace_megakernel_batch(camv, tables, background, *, n_rays, max_depth,
+                           has_checker, sizes, interpret=False):
+    """Sum of n_samples progressive samples for every pixel, one kernel
+    launch. ``camv`` is the _CAMV_LEN f32 control vector (camera frame +
+    batch params); n_rays = padded pixel count (multiple of TILE_R).
+    Returns radiance-sum [n_rays, 3]."""
+    assert n_rays % TILE_R == 0
+    rows = n_rays // LANES
+    sph, qd, med, mats, texs = tables
+    n_sph, n_quad, n_mat, n_tex, n_med = sizes
+
+    grid = n_rays // TILE_R
+    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kw = dict(
+        max_depth=max_depth,
+        n_sph=n_sph, n_quad=n_quad, n_med=n_med, n_mat=n_mat, n_tex=n_tex,
+        has_checker=has_checker,
+    )
+
+    def kern(*refs):
+        camv_r = refs[0]
+        bg_r = refs[1]
+        pos = 2
+        sph_r = dict(zip(_SPH_KEYS, refs[pos:pos + len(_SPH_KEYS)]))
+        pos += len(_SPH_KEYS)
+        qd_r = dict(zip(_QUAD_KEYS, refs[pos:pos + len(_QUAD_KEYS)]))
+        pos += len(_QUAD_KEYS)
+        med_r = dict(zip(_MED_KEYS, refs[pos:pos + len(_MED_KEYS)]))
+        pos += len(_MED_KEYS)
+        mat_r = dict(zip(_MAT_KEYS, refs[pos:pos + len(_MAT_KEYS)]))
+        pos += len(_MAT_KEYS)
+        tex_r = dict(zip(_TEX_KEYS, refs[pos:pos + len(_TEX_KEYS)]))
+        pos += len(_TEX_KEYS)
+        outs = refs[pos:pos + 3]
+        _render_kernel_v4(
+            (camv_r, bg_r, sph_r, qd_r, med_r, mat_r, tex_r), outs, **kw
+        )
+
+    n_tables = (len(_SPH_KEYS) + len(_QUAD_KEYS) + len(_MED_KEYS)
+                + len(_MAT_KEYS) + len(_TEX_KEYS))
+    outs = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[smem_spec] * (2 + n_tables),
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32) for _ in range(3)
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        jnp.asarray(camv, jnp.float32),
+        jnp.asarray(background, jnp.float32),
+        *(sph[k] for k in _SPH_KEYS),
+        *(qd[k] for k in _QUAD_KEYS),
+        *(med[k] for k in _MED_KEYS),
+        *(mats[k] for k in _MAT_KEYS),
+        *(texs[k] for k in _TEX_KEYS),
+    )
+    return jnp.stack([x.reshape(n_rays) for x in outs], axis=-1)

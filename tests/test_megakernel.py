@@ -96,10 +96,11 @@ def test_phased_equals_single_pass(data_dir):
     feat = scene.features()
     dev = schema.to_device(scene)
     n = 2 * mk.TILE_R
+    w, h = 128, n // 128
     keys = jax.vmap(lambda p: rng.pixel_sample_key(0, p, 0))(
         jnp.arange(n, dtype=jnp.int32)
     )
-    o, d, t = cam_ops.generate_rays(dev.camera, 64, 32, jnp.int32(0), 1, keys)
+    o, d, t = cam_ops.generate_rays(dev.camera, w, h, jnp.int32(0), 1, keys)
     sizes = tuple(feat["mega_sizes"])
     tables = mk.pack_tables(dev, sizes)
     kw = dict(max_depth=20, has_checker=False, sizes=sizes, interpret=True)

@@ -1,0 +1,99 @@
+"""v4 path-regeneration batch kernel (interpret mode): exactness on
+deterministic scenes and statistical agreement with the per-sample paths."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace2_tpu.scene import loader, schema
+from raytrace2_tpu.ops import integrator
+
+
+def _render_batch(scene, features, w, h, spp, depth, mega):
+    feat = dict(features)
+    feat["use_megakernel"] = mega
+    if mega:
+        feat["mega_interpret"] = True
+    dev = schema.to_device(scene)
+
+    @jax.jit
+    def go(dev):
+        return integrator.render_progressive(
+            dev, feat, w, h, jnp.int32(0), jnp.int32(spp), 0, depth,
+            max(int(np.sqrt(spp)), 1),
+        ) / spp
+
+    return np.asarray(go(dev))
+
+
+def _scene(tmp_path, j):
+    p = tmp_path / "v4.json"
+    p.write_text(json.dumps(j))
+    scene, _ = loader.load_scene(str(p))
+    return scene, scene.features()
+
+
+def test_emissive_enclosure_exact(tmp_path):
+    scene, feat = _scene(tmp_path, {
+        "background_color": [0, 0, 0],
+        "camera": {"fov": 90, "center": [0, 0, 0], "look_at": [0, 0, -1]},
+        "materials": [{"type": "diffuse_light", "albedo": [2.0, 3.0, 4.0]}],
+        "primitives": [{"type": "sphere", "center": [0, 0, 0], "radius": 10.0, "material": 0}],
+    })
+    img = _render_batch(scene, feat, 8, 8, 3, 4, mega=True)
+    np.testing.assert_allclose(img, np.broadcast_to([2, 3, 4], img.shape), rtol=1e-5)
+
+
+def test_lambertian_plane_exact(tmp_path):
+    scene, feat = _scene(tmp_path, {
+        "background_color": [1.0, 0.8, 0.6],
+        "camera": {"fov": 40, "center": [0, 5, 0], "look_at": [0, 0, -10]},
+        "materials": [{"type": "lambertian", "albedo": [0.3, 0.5, 0.7]}],
+        "primitives": [
+            {"type": "quad", "q": [-1000, 0, -1000], "u": [2000, 0, 0],
+             "v": [0, 0, 2000], "material": 0}
+        ],
+    })
+    img = _render_batch(scene, feat, 8, 8, 3, 4, mega=True)
+    np.testing.assert_allclose(
+        img, np.broadcast_to(np.array([0.3, 0.5, 0.7]) * [1.0, 0.8, 0.6], img.shape),
+        rtol=1e-4,
+    )
+
+
+@pytest.mark.slow
+def test_cornell_statistical_agreement(data_dir):
+    scene, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
+    feat = scene.features()
+    a = _render_batch(scene, feat, 32, 32, 16, 12, mega=False)  # XLA path
+    b = _render_batch(scene, feat, 32, 32, 16, 12, mega=True)   # v4
+    from raytrace2_tpu.io import compare
+
+    da = compare.downsample(a, 8)
+    db = compare.downsample(b, 8)
+    np.testing.assert_allclose(da.mean(), db.mean(), rtol=0.12)
+    np.testing.assert_allclose(da, db, atol=0.25)
+
+
+def test_batch_split_invariance(data_dir):
+    """Rendering samples [0,4) in one batch must equal two batches [0,2)+[2,4)
+    (streams are pure functions of (pixel, sample))."""
+    scene, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
+    feat = dict(scene.features(), use_megakernel=True, mega_interpret=True)
+    dev = schema.to_device(scene)
+    w = h = 16
+
+    @jax.jit
+    def go(dev, s0, n):
+        return integrator.render_progressive(
+            dev, feat, w, h, s0, n, 0, 6, 2
+        )
+
+    whole = np.asarray(go(dev, jnp.int32(0), jnp.int32(4)))
+    split = np.asarray(go(dev, jnp.int32(0), jnp.int32(2))) + np.asarray(
+        go(dev, jnp.int32(2), jnp.int32(2))
+    )
+    np.testing.assert_allclose(whole, split, rtol=1e-5, atol=1e-5)

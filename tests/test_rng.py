@@ -46,6 +46,25 @@ def test_on_hemisphere():
     np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
 
 
+def test_murmur_uniforms_distribution_and_purity():
+    ids = jnp.arange(8192, dtype=jnp.int32)
+    u = np.asarray(jax.jit(
+        lambda s: rng.murmur_uniforms(s, ids, (0, 1, 2))
+    )(jnp.int32(12345)))
+    assert u.shape == (8192, 3)
+    assert np.all((u >= 0) & (u < 1))
+    np.testing.assert_allclose(u.mean(0), 0.5, atol=0.02)
+    np.testing.assert_allclose(u.var(0), 1 / 12, atol=0.01)
+    # Columns (counters) are decorrelated.
+    c = np.corrcoef(u.T)
+    assert np.abs(c[0, 1]) < 0.05 and np.abs(c[0, 2]) < 0.05
+    # Pure function of (seed, id, ctr).
+    u2 = np.asarray(rng.murmur_uniforms(jnp.int32(12345), ids, (0, 1, 2)))
+    np.testing.assert_array_equal(u, u2)
+    u3 = np.asarray(rng.murmur_uniforms(jnp.int32(12346), ids, (0, 1, 2)))
+    assert not np.array_equal(u, u3)
+
+
 def test_key_derivation_is_pure():
     k1 = rng.pixel_sample_key(7, jnp.int32(11), jnp.int32(3))
     k2 = rng.pixel_sample_key(7, jnp.int32(11), jnp.int32(3))
