@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=None, help="override image width")
     p.add_argument("--height", type=int, default=None, help="override image height")
     p.add_argument("--seed", type=int, default=0, help="deterministic render seed")
+    p.add_argument("--camera", default=None, metavar="CAM_JSON",
+                   help="override the scene camera with a standalone camera "
+                        "file (e.g. data/cam1.json)")
     p.add_argument("--chunk-size", type=int, default=None, help="rays per trace chunk")
     p.add_argument("--batch", type=int, default=0,
                    help="samples per device dispatch (0 = auto)")
@@ -123,6 +126,12 @@ def main(argv=None) -> int:
 
     try:
         scene, dims = loader.load_scene(scene_path, seed=args.seed)
+        if args.camera:
+            import dataclasses
+
+            scene = dataclasses.replace(
+                scene, camera=loader.load_camera_file(args.camera)
+            )
     except (OSError, loader.SceneError, json.JSONDecodeError) as e:
         print(f"Failed to load scene: {e}", file=sys.stderr)
         return 1

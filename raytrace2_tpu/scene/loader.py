@@ -651,6 +651,30 @@ def load_scene(path: str, seed: int = 0, data_dir: str | None = None):
     return flatten(desc, seed=seed), desc.dims
 
 
+def load_camera_file(path: str) -> schema.CameraParams:
+    """Load a standalone camera JSON (e.g. data/cam1.json) —
+    serialize::LoadCamera(filepath) (src/Serialize.cpp:42-45). Useful for
+    scenes that ship without a camera (the reference aborts on those;
+    final_render_book_1.json pairs with cam1.json)."""
+    with open(path) as f:
+        cam_json = json.load(f)
+    cam = {
+        "fov": float(cam_json.get("fov", 90)),
+        "center": _vec3(cam_json.get("center"), (0, 0, 1)),
+        "look_at": _vec3(cam_json.get("look_at"), (0, 0, 0)),
+        "defocus_angle": float(cam_json.get("defocus_angle", 0.0)),
+        "focus_distance": float(cam_json.get("focus_distance", 1.0)),
+    }
+    return schema.CameraParams(
+        center=np.asarray(cam["center"], defs.REAL),
+        look_at=np.asarray(cam["look_at"], defs.REAL),
+        vup=np.array([0.0, 1.0, 0.0], defs.REAL),
+        vfov=defs.REAL(cam["fov"]),
+        defocus_angle=defs.REAL(cam["defocus_angle"]),
+        focus_dist=defs.REAL(cam["focus_distance"]),
+    )
+
+
 def write_camera(cam: schema.CameraParams, path: str) -> None:
     """Camera write-back JSON — serialize::WriteCamera (src/Serialize.cpp:47-54)."""
     obj = {

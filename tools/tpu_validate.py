@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--golden-spp", type=int, default=1024)
+    p.add_argument("--golden-spp", type=int, default=4096)
     p.add_argument("--bench-spp", type=int, default=64)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--data", default="/root/reference/data")
@@ -72,8 +72,9 @@ def main() -> int:
         return scene, run, render
 
     # ---- 1. Golden PSNR --------------------------------------------------
+    args.max_batch = 128
     scene, run, render = make_runner(
-        f"{args.data}/cornell_box_original.json", 600, 600, 50, 10, mega=True
+        f"{args.data}/cornell_box_original.json", 600, 600, 50, 64, mega=True
     )
     t0 = time.time()
     img = render(args.golden_spp)
@@ -93,15 +94,17 @@ def main() -> int:
     print(json.dumps({"golden": results["golden"]}), flush=True)
 
     # ---- 2. Throughput sweep --------------------------------------------
+    # (name, file, W, H, depth, mega, per-dispatch sample cap)
     sweeps = [
-        ("cornell_mega", "cornell_box_original.json", 600, 600, 50, True),
-        ("cornell_xla", "cornell_box_original.json", 600, 600, 50, False),
-        ("volume_mega", "cornell_box_volume.json", 600, 600, 50, True),
-        ("book1_mega", "final_render_book_1.json", 600, 337, 50, True),
-        ("book2_xla", "book2_final_scene_10000_samples.json", 600, 600, 50, False),
+        ("cornell_mega", "cornell_box_original.json", 600, 600, 50, True, 128),
+        ("cornell_xla", "cornell_box_original.json", 600, 600, 50, False, 32),
+        ("volume_mega", "cornell_box_volume.json", 600, 600, 50, True, 64),
+        ("book1_mega", "final_render_book_1.json", 600, 337, 50, True, 32),
+        ("book2_xla", "book2_final_scene_10000_samples.json", 600, 600, 50, False, 2),
     ]
-    for name, fname, W, H, depth, mega in sweeps:
+    for name, fname, W, H, depth, mega, cap in sweeps:
         try:
+            args.max_batch = cap
             scene, run, render = make_runner(
                 f"{args.data}/{fname}", W, H, depth, 8, mega
             )
