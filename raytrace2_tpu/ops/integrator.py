@@ -267,14 +267,16 @@ def render_sample(scene, features, width: int, height: int, sample_idx, seed,
 
 
 def _render_batch_megakernel(scene, features, width, height, sample0,
-                             n_samples, seed, max_depth, sqrt_spp):
+                             n_samples, seed, max_depth, sqrt_spp,
+                             pix0=0, n_local=None):
     """Batched v4 path-regeneration render: every lane owns a pixel and
     regenerates dead rays with its next sample in-kernel — one kernel launch
     per batch (see ops/pallas/megakernel.py v4). Returns the radiance SUM
     over the batch's samples, [H,W,3]."""
     from raytrace2_tpu.ops.pallas import megakernel as mk
 
-    n = width * height
+    n_total = width * height
+    n = n_local if n_local is not None else n_total  # rays this shard renders
     n_pad = ((n + mk.TILE_R - 1) // mk.TILE_R) * mk.TILE_R
     frame = camera_ops.camera_frame(scene.camera, width, height)
     camv = jnp.concatenate([
@@ -282,10 +284,11 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         frame["center"], frame["defocus_disk_u"], frame["defocus_disk_v"],
         jnp.stack([
             frame["defocus_angle"].astype(jnp.float32),
-            jnp.float32(width), jnp.float32(n),
+            jnp.float32(width), jnp.float32(n_total),
             jnp.asarray(sample0, jnp.float32),
             jnp.asarray(n_samples, jnp.float32),
             jnp.float32(sqrt_spp), jnp.float32(seed),
+            jnp.asarray(pix0, jnp.float32),
         ]),
     ])
     sizes = tuple(features["mega_sizes"])
@@ -297,6 +300,8 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         sizes=sizes,
         interpret=bool(features.get("mega_interpret", False)),
     )
+    if n_local is not None:
+        return radiance[:n]          # sharded caller keeps the flat tile
     return radiance[:n].reshape(height, width, 3)
 
 

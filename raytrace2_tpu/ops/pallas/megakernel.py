@@ -723,8 +723,10 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
 
 # camv layout (f32 SMEM): 0:3 pixel00, 3:6 pixel_delta_u, 6:9 pixel_delta_v,
 # 9:12 center, 12:15 defocus_disk_u, 15:18 defocus_disk_v, 18 defocus_angle,
-# 19 width, 20 n_pix, 21 s0, 22 n_samples, 23 sqrt_spp, 24 seed
-_CAMV_LEN = 25
+# 19 width, 20 n_pix, 21 s0, 22 n_samples, 23 sqrt_spp, 24 seed,
+# 25 pix0 (global pixel id of this shard's first ray — device tiles under
+#          shard_map keep globally-correct pixel identities/RNG streams)
+_CAMV_LEN = 26
 
 
 def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
@@ -737,7 +739,7 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         pl.program_id(0) * TILE_R
         + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    )
+    ) + camv[25].astype(jnp.int32)
     slot_u = slot_i.astype(jnp.uint32)
     slot_f = slot_i.astype(jnp.float32)
     width = camv[19]

@@ -111,6 +111,49 @@ def render_samples_sharded(scene, features, sample0, seed, *, width, height,
 @functools.partial(
     jax.jit,
     static_argnames=("features", "width", "height", "max_depth", "sqrt_spp",
+                     "samples_per_device", "mesh"),
+)
+def render_samples_sharded_mega(scene, features, sample0, seed, *, width,
+                                height, max_depth, sqrt_spp,
+                                samples_per_device, mesh):
+    """Distributed v4 megakernel render: 'dp' shards pixel tiles (each
+    device's kernel gets its tile's global pixel offset, so RNG streams and
+    stratification are identical to a single-device render), 'sp' runs
+    different sample blocks and psums. Returns summed radiance [H,W,3] over
+    sp·samples_per_device samples."""
+    features = dict(features)
+    n = width * height
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    chunk = -(-n // dp)  # ceil; kernel masks out-of-grid lanes itself
+    pix0_arr = jnp.arange(dp, dtype=jnp.int32) * chunk
+    sp_arr = jnp.arange(sp, dtype=jnp.int32)
+
+    from raytrace2_tpu.ops.integrator import _render_batch_megakernel
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("sp"), P("dp")),
+        out_specs=P(None, "dp"),
+        check_vma=False,
+    )
+    def go(scene, my_sp, my_pix0):
+        s0_local = sample0 + my_sp[0] * samples_per_device
+        r = _render_batch_megakernel(
+            scene, features, width, height, s0_local,
+            jnp.int32(samples_per_device), seed, max_depth, sqrt_spp,
+            pix0=my_pix0[0], n_local=chunk,
+        )
+        return jax.lax.psum(r, "sp")[None]
+
+    out = go(scene, sp_arr, pix0_arr)[0]
+    return out[:n].reshape(height, width, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("features", "width", "height", "max_depth", "sqrt_spp",
                      "n_samples", "mesh"),
 )
 def render_grad_sharded(scene, features, target, seed, *, width, height,

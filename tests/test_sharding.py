@@ -117,6 +117,31 @@ def test_distributed_gradient_matches_single_device(cornell):
     del dataclasses
 
 
+def test_sharded_megakernel_matches_single_device(cornell):
+    """v4 megakernel under shard_map (pixel tiles with global offsets +
+    sample psum) == single-device v4 batch, bit-for-bit in structure."""
+    scene, features = cornell
+    feat = dict(features, use_megakernel=True, mega_interpret=True)
+    w = h = 16
+
+    single = np.asarray(
+        jax.jit(
+            lambda s: integrator.render_progressive(
+                s, feat, w, h, jnp.int32(0), jnp.int32(4), 0, 5, 2
+            )
+        )(scene)
+    )
+    mesh = sharding.make_mesh(sp=2)
+    shard = np.asarray(
+        sharding.render_samples_sharded_mega(
+            scene, tuple(sorted(feat.items())), jnp.int32(0), 0,
+            width=w, height=h, max_depth=5, sqrt_spp=2,
+            samples_per_device=2, mesh=mesh,
+        )
+    )
+    np.testing.assert_allclose(shard, single, rtol=1e-5, atol=1e-6)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
