@@ -1,5 +1,11 @@
 """Fused closest-hit Pallas kernel: spheres + quads in one VMEM-resident pass.
 
+STATUS: superseded by ops/pallas/megakernel.py (which keeps the whole bounce
+loop in-kernel and measured 6-60x faster end-to-end). Kept as the tested
+intermediate step and for A/B comparison via Renderer(backend='pallas');
+on-chip measurements showed XLA's fused dense form beats this kernel at
+every corpus size, which motivated the megakernel redesign.
+
 Why a kernel: the XLA formulation (ops/intersect.py) materializes several
 [rays, prims] intermediates per family; XLA fuses most of the elementwise
 work but the per-term HBM traffic scales with rays × prims. This kernel
