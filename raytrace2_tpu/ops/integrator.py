@@ -98,6 +98,7 @@ def _trace_megakernel(scene, features, o, d, time, seed_lane, max_depth):
         o, d, time, seed_lane, tables, scene.background,
         max_depth=max_depth,
         has_checker=bool(features.get("has_checker", True)),
+        has_noise=bool(features.get("has_noise", False)),
         sizes=sizes,
         interpret=bool(features.get("mega_interpret", False)),
         phases=int(features.get("mega_phases", 2)),
@@ -132,7 +133,6 @@ def trace_rays(scene, features, o, d, time, keys, max_depth: int,
         and mega_seed is not None
         and features.get("use_megakernel", False)
         and features.get("mega_sizes") is not None
-        and not features.get("has_noise", True)
     ):
         return _trace_megakernel(scene, features, o, d, time, mega_seed, max_depth)
 
@@ -213,7 +213,6 @@ def render_sample(scene, features, width: int, height: int, sample_idx, seed,
         not differentiable
         and features.get("use_megakernel", False)
         and features.get("mega_sizes") is not None
-        and not features.get("has_noise", True)
     )
     if mega_active:
         # Camera uniforms from the kernel's counter-hash family — the whole
@@ -297,6 +296,7 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         camv, tables, scene.background,
         n_rays=n_pad, max_depth=max_depth,
         has_checker=bool(features.get("has_checker", True)),
+        has_noise=bool(features.get("has_noise", False)),
         sizes=sizes,
         interpret=bool(features.get("mega_interpret", False)),
     )
@@ -322,7 +322,6 @@ def render_progressive(scene, features, width: int, height: int, sample0,
         not differentiable
         and features.get("use_megakernel", False)
         and features.get("mega_sizes") is not None
-        and not features.get("has_noise", True)
     ):
         return _render_batch_megakernel(
             scene, features, width, height, sample0, n_samples, seed,

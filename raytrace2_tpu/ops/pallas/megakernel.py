@@ -48,7 +48,8 @@ SUBLANES = 32  # 32x128 ray tiles measured fastest (fewer grid steps)
 TILE_R = SUBLANES * LANES
 
 # SMEM budget gate: primitive records beyond this fall back to the XLA path.
-MAX_SMEM_RECORDS = 640
+# (book2: 3.4k records x ~21 f32 params ≈ 160 KB of SMEM tables - fits.)
+MAX_SMEM_RECORDS = 4096
 
 _SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat")
 _QUAD_KEYS = ("nx", "ny", "nz", "d", "aax", "aay", "aaz", "abx", "aby",
@@ -58,7 +59,8 @@ _MED_KEYS = ("btype", "p0x", "p0y", "p0z", "p1x", "p1y", "p1z",
              "i00", "i01", "i02", "i03", "i10", "i11", "i12", "i13",
              "i20", "i21", "i22", "i23", "nid", "mat")
 _MAT_KEYS = ("mtype", "alr", "alg", "alb", "param", "tex")
-_TEX_KEYS = ("ttype", "alr", "alg", "alb", "inv_scale", "even", "odd")
+_TEX_KEYS = ("ttype", "alr", "alg", "alb", "inv_scale", "even", "odd",
+             "scale", "ntype")
 
 
 def table_sizes(scene):
@@ -132,6 +134,7 @@ def pack_tables(scene, sizes):
         ttype=f32(t.ttype), alr=f32(t.albedo[:, 0]), alg=f32(t.albedo[:, 1]),
         alb=f32(t.albedo[:, 2]), inv_scale=f32(t.inv_scale),
         even=f32(t.even), odd=f32(t.odd),
+        scale=f32(t.scale), ntype=f32(t.noise_type),
     )
     return sph, qd, med, mats, texs
 
@@ -154,7 +157,7 @@ def _uniform_from_bits(bits):
 
 
 def _make_bounce(sph, qd, med, mats, texs, bg_r, *, max_depth, n_sph,
-                 n_quad, n_med, n_mat, n_tex, has_checker, shape):
+                 n_quad, n_med, n_mat, n_tex, has_checker, has_noise, shape):
     """Build the per-bounce transition shared by the v3 (state-passing)
     and v4 (path-regeneration) kernels. ``key`` is the per-lane RNG key
     for the CURRENT (pixel, sample); ``tm`` the per-lane shutter time."""
@@ -362,10 +365,10 @@ def _make_bounce(sph, qd, med, mats, texs, bg_r, *, max_depth, n_sph,
              jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)),
         )
 
-        # ---- texture resolve (solid + optional checker) ------------------
+        # ---- texture resolve (solid / checker / hash-Perlin noise) -------
         def tex_sweep(idx_f):
             def tex_body(k, acc):
-                ttype, talr, talg, talb, tinv, tev, tod = acc
+                ttype, talr, talg, talb, tinv, tev, tod, tsc, tnt = acc
                 sel = idx_f == k.astype(jnp.float32)
                 return (
                     jnp.where(sel, texs["ttype"][k], ttype),
@@ -375,14 +378,18 @@ def _make_bounce(sph, qd, med, mats, texs, bg_r, *, max_depth, n_sph,
                     jnp.where(sel, texs["inv_scale"][k], tinv),
                     jnp.where(sel, texs["even"][k], tev),
                     jnp.where(sel, texs["odd"][k], tod),
+                    jnp.where(sel, texs["scale"][k], tsc),
+                    jnp.where(sel, texs["ntype"][k], tnt),
                 )
 
             return jax.lax.fori_loop(
                 0, n_tex, tex_body,
-                tuple(jnp.zeros(shape) for _ in range(7)),
+                tuple(jnp.zeros(shape) for _ in range(9)),
             )
 
-        ttype, t_alr, t_alg, t_alb, t_inv, t_even, t_odd = tex_sweep(mtex)
+        leaf = mtex
+        (ttype, t_alr, t_alg, t_alb, t_inv, t_even, t_odd,
+         t_scale, t_ntype) = tex_sweep(leaf)
         if has_checker:
             fx = jnp.floor(t_inv * px)
             fy = jnp.floor(t_inv * py)
@@ -390,7 +397,27 @@ def _make_bounce(sph, qd, med, mats, texs, bg_r, *, max_depth, n_sph,
             parity = fx + fy + fz - 2.0 * jnp.floor((fx + fy + fz) * 0.5)
             child = jnp.where(parity == 0.0, t_even, t_odd)
             leaf = jnp.where(ttype == float(defs.TEX_CHECKER), child, mtex)
-            _, t_alr, t_alg, t_alb, _, _, _ = tex_sweep(leaf)
+            (ttype, t_alr, t_alg, t_alb, _, _, _, t_scale, t_ntype) = tex_sweep(leaf)
+        if has_noise:
+            # Texture.cpp:13-22 with hash-derived gradients (see
+            # _hash_gradient); pattern keyed by texture index only, so it is
+            # fixed across samples/bounces like a real static texture.
+            nseed = _mix(leaf.astype(jnp.int32).astype(jnp.uint32)
+                         ^ jnp.uint32(0x5EEDBA5E))
+            marble = 0.5 * (1.0 + jnp.sin(
+                t_scale * pz + 10.0 * _turbulence(px, py, pz, nseed)
+            ))
+            perl = 0.5 * (1.0 + _perlin_noise(
+                t_scale * px, t_scale * py, t_scale * pz, nseed
+            ))
+            nfac = jnp.where(
+                t_ntype == float(defs.NOISE_MARBLE), marble, perl
+            )
+            is_noise = ttype == float(defs.TEX_NOISE)
+            sel_n = is_noise
+            t_alr = jnp.where(sel_n, t_alr * nfac, t_alr)
+            t_alg = jnp.where(sel_n, t_alg * nfac, t_alg)
+            t_alb = jnp.where(sel_n, t_alb * nfac, t_alb)
 
         # ---- RNG: per-ray counters from the per-ray bounce index ----------
         bctr = bounce.astype(jnp.int32) * draws_pb
@@ -490,8 +517,72 @@ def _make_bounce(sph, qd, med, mats, texs, bg_r, *, max_depth, n_sph,
     return bounce
 
 
+def _lattice_hash(ix, iy, iz, seed_u):
+    """32-bit lattice hash for gradient noise."""
+    h = ix.astype(jnp.uint32) * jnp.uint32(0x8DA6B343)
+    h = h ^ (iy.astype(jnp.uint32) * jnp.uint32(0xD8163841))
+    h = h ^ (iz.astype(jnp.uint32) * jnp.uint32(0xCB1AB31F))
+    return _mix(h ^ seed_u)
+
+
+def _hash_gradient(ix, iy, iz, seed_u):
+    """Unit gradient vector per lattice corner from two hashed uniforms
+    (the (z, phi) sphere map). Replaces the reference's 256-entry shuffled
+    tables (PerlinNoiseGen.cpp:40-50): those are seeded from random_device —
+    a fresh random gradient set every reference run — so a deterministic
+    hash-derived set is the same class of noise."""
+    h1 = _lattice_hash(ix, iy, iz, seed_u)
+    h2 = _mix(h1 ^ jnp.uint32(0x68E31DA4))
+    u1 = _uniform_from_bits(h1)
+    u2 = _uniform_from_bits(h2)
+    z = 1.0 - 2.0 * u1
+    phi = jnp.float32(2.0 * 3.14159265358979) * u2
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+
+def _perlin_noise(px, py, pz, seed_u):
+    """One octave of gradient noise in [-1, 1] with Hermite-smoothed
+    interpolation (PerlinInterp semantics, PerlinNoiseGen.cpp:10-26)."""
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    fz = jnp.floor(pz)
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+    iz = fz.astype(jnp.int32)
+    u = px - fx
+    v = py - fy
+    w = pz - fz
+    uu = u * u * (3.0 - 2.0 * u)
+    vv = v * v * (3.0 - 2.0 * v)
+    ww = w * w * (3.0 - 2.0 * w)
+    accum = jnp.zeros_like(px)
+    for di in (0, 1):
+        wi = uu if di else (1.0 - uu)
+        for dj in (0, 1):
+            wj = vv if dj else (1.0 - vv)
+            for dk in (0, 1):
+                wk = ww if dk else (1.0 - ww)
+                gx, gy, gz = _hash_gradient(ix + di, iy + dj, iz + dk, seed_u)
+                dot = gx * (u - di) + gy * (v - dj) + gz * (w - dk)
+                accum = accum + wi * wj * wk * dot
+    return accum
+
+
+def _turbulence(px, py, pz, seed_u, depth=7):
+    """|sum 0.5^k noise(2^k p)| (PerlinNoiseGen.cpp:52-64)."""
+    accum = jnp.zeros_like(px)
+    weight = 1.0
+    sx, sy, sz = px, py, pz
+    for _ in range(depth):
+        accum = accum + weight * _perlin_noise(sx, sy, sz, seed_u)
+        weight *= 0.5
+        sx, sy, sz = sx * 2.0, sy * 2.0, sz * 2.0
+    return jnp.abs(accum)
+
+
 def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
-                   n_mat, n_tex, has_checker):
+                   n_mat, n_tex, has_checker, has_noise):
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r, rid_r, bn_r, al_r,
      tpr_r, tpg_r, tpb_r, seed_r, bg_r, ma_r,
      sph, qd, med, mats, texs) = refs_in
@@ -517,7 +608,8 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
     bounce = _make_bounce(
         sph, qd, med, mats, texs, bg_r,
         max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
-        n_mat=n_mat, n_tex=n_tex, has_checker=has_checker, shape=shape,
+        n_mat=n_mat, n_tex=n_tex, has_checker=has_checker,
+        has_noise=has_noise, shape=shape,
     )
 
     def body(carry):
@@ -555,10 +647,12 @@ def _render_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "has_checker", "sizes", "interpret"),
+    static_argnames=("max_depth", "has_checker", "has_noise", "sizes",
+                     "interpret"),
 )
 def megakernel_pass(state, seed_lane, min_alive, tables, background, *,
-                    max_depth, has_checker, sizes, interpret=False):
+                    max_depth, has_checker, has_noise=False, sizes=None,
+                    interpret=False):
     """One kernel pass over a ray-state dict; each tile runs its bounce loop
     until its live count drops to ``min_alive`` (0 = run dry).
 
@@ -587,7 +681,7 @@ def megakernel_pass(state, seed_lane, min_alive, tables, background, *,
     kw = dict(
         max_depth=max_depth,
         n_sph=n_sph, n_quad=n_quad, n_med=n_med, n_mat=n_mat, n_tex=n_tex,
-        has_checker=has_checker,
+        has_checker=has_checker, has_noise=has_noise,
     )
 
     def kern(*refs):
@@ -672,8 +766,8 @@ def init_state(o, d, time):
 
 
 def trace_megakernel(o, d, time, seed_lane, tables, background, *,
-                     max_depth, has_checker, sizes, interpret=False,
-                     phases=3, compaction_ratio=8):
+                     max_depth, has_checker, has_noise=False, sizes=None,
+                     interpret=False, phases=3, compaction_ratio=8):
     """Trace N rays to completion with cross-tile compaction between kernel
     passes: each pass stops a tile once its live count falls to 1/ratio of
     the tile, the host gathers survivors (per-ray bounce counters and rid
@@ -685,8 +779,8 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
     state = init_state(o, d, time)
     radiance_full = jnp.zeros((n, 3), jnp.float32)
     idx_map = jnp.arange(n, dtype=jnp.int32)
-    kw = dict(max_depth=max_depth, has_checker=has_checker, sizes=sizes,
-              interpret=interpret)
+    kw = dict(max_depth=max_depth, has_checker=has_checker,
+              has_noise=has_noise, sizes=sizes, interpret=interpret)
 
     width = n
     for phase in range(phases):
@@ -730,7 +824,7 @@ _CAMV_LEN = 26
 
 
 def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
-                      n_mat, n_tex, has_checker):
+                      n_mat, n_tex, has_checker, has_noise):
     (camv, bg_r, sph, qd, med, mats, texs) = refs_in
     out_rr, out_rg, out_rb = refs_out
     shape = (SUBLANES, LANES)
@@ -798,7 +892,8 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
     bounce = _make_bounce(
         sph, qd, med, mats, texs, bg_r,
         max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
-        n_mat=n_mat, n_tex=n_tex, has_checker=has_checker, shape=shape,
+        n_mat=n_mat, n_tex=n_tex, has_checker=has_checker,
+        has_noise=has_noise, shape=shape,
     )
 
     zero = jnp.zeros(shape)
@@ -847,10 +942,12 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rays", "max_depth", "has_checker", "sizes", "interpret"),
+    static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
+                     "sizes", "interpret"),
 )
 def trace_megakernel_batch(camv, tables, background, *, n_rays, max_depth,
-                           has_checker, sizes, interpret=False):
+                           has_checker, has_noise=False, sizes=None,
+                           interpret=False):
     """Sum of n_samples progressive samples for every pixel, one kernel
     launch. ``camv`` is the _CAMV_LEN f32 control vector (camera frame +
     batch params); n_rays = padded pixel count (multiple of TILE_R).
@@ -866,7 +963,7 @@ def trace_megakernel_batch(camv, tables, background, *, n_rays, max_depth,
     kw = dict(
         max_depth=max_depth,
         n_sph=n_sph, n_quad=n_quad, n_med=n_med, n_mat=n_mat, n_tex=n_tex,
-        has_checker=has_checker,
+        has_checker=has_checker, has_noise=has_noise,
     )
 
     def kern(*refs):

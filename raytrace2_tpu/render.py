@@ -101,10 +101,7 @@ class Renderer:
         from raytrace2_tpu.ops.pallas import megakernel as mk
 
         n_records = sum(features["mega_sizes"][:2]) + features["mega_sizes"][4]
-        eligible = (
-            not features["has_noise"]
-            and n_records <= mk.MAX_SMEM_RECORDS
-        )
+        eligible = n_records <= mk.MAX_SMEM_RECORDS
         features["use_megakernel"] = self.backend == "mega" or (
             self.backend == "auto"
             and eligible
