@@ -100,7 +100,8 @@ class Renderer:
         # the compacted XLA loop on v5e; everything else uses XLA.
         from raytrace2_tpu.ops.pallas import megakernel as mk
 
-        n_records = sum(features["mega_sizes"][:2]) + features["mega_sizes"][4]
+        ms = features["mega_sizes"]
+        n_records = ms[0] + ms[1] + ms[4] + ms[5]  # spheres+plain quads+media+boxes
         eligible = n_records <= mk.MAX_SMEM_RECORDS
         features["use_megakernel"] = self.backend == "mega" or (
             self.backend == "auto"

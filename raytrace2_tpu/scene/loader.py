@@ -437,12 +437,23 @@ def _invert_affine(m4: np.ndarray) -> np.ndarray:
     return out
 
 
+def _is_axis_aligned(m3: np.ndarray, tol: float = 1e-9) -> bool:
+    """True if the 3x3 linear part is diagonal (axis-aligned scale/flip)."""
+    off = m3 - np.diag(np.diag(m3))
+    return bool(np.all(np.abs(off) <= tol)) and bool(np.all(np.abs(np.diag(m3)) > 0))
+
+
 @dataclasses.dataclass
 class _Flattener:
     prims: list[PrimDesc]
     spheres: list = dataclasses.field(default_factory=list)
     quads: list = dataclasses.field(default_factory=list)
     media: list = dataclasses.field(default_factory=list)
+    # Axis-aligned boxes: kept as records for the megakernel's slab sweep;
+    # their quads go into aabox_quads (appended AFTER plain quads so the
+    # kernel can sweep the plain prefix only).
+    aaboxes: list = dataclasses.field(default_factory=list)
+    aabox_quads: list = dataclasses.field(default_factory=list)
 
     def emit(self, prim_idx: int, xform: np.ndarray | None) -> None:
         if prim_idx < 0 or prim_idx >= len(self.prims):
@@ -474,8 +485,18 @@ class _Flattener:
             q, u, v = p.params["q"], p.params["u"], p.params["v"]
             self.quads.append((a3 @ q + t3, a3 @ u, a3 @ v, p.material))
         elif p.kind == "box":
+            if _is_axis_aligned(a3):
+                corner_a = a3 @ p.params["a"] + t3
+                corner_b = a3 @ p.params["b"] + t3
+                self.aaboxes.append(
+                    (np.minimum(corner_a, corner_b),
+                     np.maximum(corner_a, corner_b), p.material)
+                )
+                sink = self.aabox_quads
+            else:
+                sink = self.quads
             for q, u, v in _make_box_quads(p.params["a"], p.params["b"]):
-                self.quads.append((a3 @ q + t3, a3 @ u, a3 @ v, p.material))
+                sink.append((a3 @ q + t3, a3 @ u, a3 @ v, p.material))
         else:  # pragma: no cover
             raise SceneError(f"unknown primitive kind {p.kind}")
 
@@ -549,8 +570,9 @@ def flatten(desc: SceneDesc, seed: int = 0, pad: bool = True) -> schema.FlatScen
         pad_to=round_up(len(fl.spheres)),
     )
 
-    if fl.quads:
-        qq, qu, qv, qmat = zip(*fl.quads)
+    all_quads = fl.quads + fl.aabox_quads
+    if all_quads:
+        qq, qu, qv, qmat = zip(*all_quads)
     else:
         qq, qu, qv, qmat = [], [], [], []
     quads = schema.make_quads(
@@ -558,8 +580,23 @@ def flatten(desc: SceneDesc, seed: int = 0, pad: bool = True) -> schema.FlatScen
         np.array(qu, np.float64).reshape(-1, 3),
         np.array(qv, np.float64).reshape(-1, 3),
         np.array(qmat, np.int64).reshape(-1),
-        pad_to=round_up(len(fl.quads)),
+        pad_to=round_up(len(all_quads)),
     )
+
+    if fl.aaboxes:
+        bmins, bmaxs, bmats = zip(*fl.aaboxes)
+        nb = len(fl.aaboxes)
+        tb = round_up(nb)
+        bactive = np.zeros(tb, bool)
+        bactive[:nb] = True
+        boxes = schema.Boxes(
+            bmin=schema._pad(np.array(bmins, defs.REAL).reshape(-1, 3), tb),
+            bmax=schema._pad(np.array(bmaxs, defs.REAL).reshape(-1, 3), tb),
+            material=schema._pad(np.array(bmats, defs.INDEX).reshape(-1), tb),
+            active=bactive,
+        )
+    else:
+        boxes = schema.empty_boxes()
 
     if fl.media:
         mcount = len(fl.media)
@@ -637,6 +674,7 @@ def flatten(desc: SceneDesc, seed: int = 0, pad: bool = True) -> schema.FlatScen
     return schema.FlatScene(
         spheres=spheres,
         quads=quads,
+        boxes=boxes,
         media=media,
         materials=materials,
         textures=textures,

@@ -82,6 +82,35 @@ class Quads:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class Boxes:
+    """Axis-aligned boxes kept as first-class records for the megakernel's
+    slab-test sweep (~5× cheaper than their 6-quad expansion). The loader
+    ALSO expands every box to quads (appended after the plain quads) so the
+    XLA path is unchanged; the kernel sweeps plain quads + this family.
+    Only boxes whose baked transform is axis-aligned land here — rotated
+    boxes (e.g. Cornell interiors) stay quad-only."""
+
+    bmin: Any      # [B,3]
+    bmax: Any      # [B,3]
+    material: Any  # [B] i32
+    active: Any    # [B] bool
+
+    @property
+    def count(self) -> int:
+        return self.material.shape[0]
+
+
+def empty_boxes() -> "Boxes":
+    return Boxes(
+        bmin=np.zeros((1, 3), defs.REAL),
+        bmax=np.zeros((1, 3), defs.REAL),
+        material=np.zeros(1, defs.INDEX),
+        active=np.zeros(1, bool),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class Media:
     """Constant-density participating media. The reference wraps an arbitrary
     convex hittable and finds entry/exit by calling Hit twice
@@ -172,6 +201,7 @@ class FlatScene:
 
     spheres: Spheres
     quads: Quads
+    boxes: Boxes
     media: Media
     materials: Materials
     textures: Textures
@@ -193,12 +223,18 @@ class FlatScene:
             "has_media": bool(np.any(np.asarray(self.media.active))),
             "has_noise": bool(np.any(ttypes == 2)),    # defs.TEX_NOISE
             "has_checker": bool(np.any(ttypes == 1)),  # defs.TEX_CHECKER
+            # (n_spheres, n_plain_quads, n_mats, n_texs, n_media, n_boxes):
+            # box-derived quads sit AFTER the plain quads, so the kernel's
+            # quad sweep covers the first (active_quads - 6·n_boxes) rows
+            # and the box family covers the rest via slab tests.
             "mega_sizes": (
                 int(np.asarray(self.spheres.active).sum()),
-                int(np.asarray(self.quads.active).sum()),
+                int(np.asarray(self.quads.active).sum())
+                - 6 * int(np.asarray(self.boxes.active).sum()),
                 int(self.materials.mtype.shape[0]),
                 int(self.textures.ttype.shape[0]),
                 int(np.asarray(self.media.active).sum()),
+                int(np.asarray(self.boxes.active).sum()),
             ),
         }
 

@@ -48,7 +48,8 @@ def _scene(spheres=None, quads=None, media=None):
         defocus_angle=defs.REAL(0), focus_dist=defs.REAL(1),
     )
     return schema.FlatScene(
-        spheres=spheres, quads=quads, media=media, materials=materials,
+        spheres=spheres, quads=quads, boxes=schema.empty_boxes(), media=media,
+        materials=materials,
         textures=textures, camera=cam, background=np.zeros(3, defs.REAL),
     )
 

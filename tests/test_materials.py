@@ -33,7 +33,8 @@ def _scene_with_materials(mtype, albedo=None, param=None, tex=None, background=(
         defocus_angle=defs.REAL(0), focus_dist=defs.REAL(1),
     )
     return schema.FlatScene(
-        spheres=spheres, quads=quads, media=schema.empty_media(), materials=mats,
+        spheres=spheres, quads=quads, boxes=schema.empty_boxes(),
+        media=schema.empty_media(), materials=mats,
         textures=textures, camera=cam, background=np.asarray(background, defs.REAL),
     )
 

@@ -78,6 +78,49 @@ def test_cornell_statistical_agreement(data_dir):
     np.testing.assert_allclose(da, db, atol=0.25)
 
 
+def test_aa_box_family_exact(tmp_path):
+    """Axis-aligned boxes go through the kernel's slab sweep; emissive box
+    interior must still be exact (every ray hits the box walls)."""
+    scene, feat = _scene(tmp_path, {
+        "background_color": [0, 0, 0],
+        "camera": {"fov": 90, "center": [0, 0, 0], "look_at": [0, 0, -1]},
+        "materials": [{"type": "diffuse_light", "albedo": [1.5, 2.5, 3.5]}],
+        "primitives": [{"type": "box", "a": [-5, -5, -5], "b": [5, 5, 5], "material": 0}],
+    })
+    assert int(np.asarray(scene.boxes.active).sum()) == 1
+    img = _render_batch(scene, feat, 8, 8, 2, 4, mega=True)
+    np.testing.assert_allclose(img, np.broadcast_to([1.5, 2.5, 3.5], img.shape), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_aa_box_scene_statistical(tmp_path):
+    """Boxes + light, kernel slab-sweep vs XLA quad expansion."""
+    scene, feat = _scene(tmp_path, {
+        "background_color": [0.2, 0.25, 0.35],
+        "camera": {"fov": 50, "center": [0, 4, 10], "look_at": [0, 1, 0]},
+        "materials": [
+            {"type": "lambertian", "albedo": [0.5, 0.7, 0.5]},
+            {"type": "metal", "albedo": [0.9, 0.9, 0.9], "fuzz": 0.05},
+            {"type": "diffuse_light", "albedo": [6, 6, 6]},
+        ],
+        "primitives": [
+            {"type": "box", "a": [-6, 0, -6], "b": [6, 0.4, 6], "material": 0},
+            {"type": "box", "a": [-1.5, 0.4, -1.5], "b": [-0.2, 2.4, -0.3], "material": 0},
+            {"type": "box", "a": [0.4, 0.4, -0.8], "b": [1.8, 1.6, 0.6], "material": 1},
+            {"type": "quad", "q": [-1, 5, -1], "u": [2, 0, 0], "v": [0, 0, 2], "material": 2},
+        ],
+    })
+    assert int(np.asarray(scene.boxes.active).sum()) == 3
+    a = _render_batch(scene, feat, 24, 24, 12, 10, mega=False)
+    b = _render_batch(scene, feat, 24, 24, 12, 10, mega=True)
+    from raytrace2_tpu.io import compare
+
+    da = compare.downsample(a, 6)
+    db = compare.downsample(b, 6)
+    np.testing.assert_allclose(da.mean(), db.mean(), rtol=0.1)
+    np.testing.assert_allclose(da, db, atol=0.22)
+
+
 @pytest.mark.slow
 def test_perlin_scene_statistical(data_dir):
     """In-kernel hash-gradient Perlin vs the XLA table-based Perlin: the
