@@ -51,7 +51,9 @@ TILE_R = SUBLANES * LANES
 # (book2: 3.4k records x ~21 f32 params ≈ 160 KB of SMEM tables - fits.)
 MAX_SMEM_RECORDS = 4096
 
-_SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat")
+_SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat", "act",
+             "cbx0", "cby0", "cbz0", "cbx1", "cby1", "cbz1")
+SPH_CLUSTER = 64  # spheres per cluster for the cluster-skip sweep
 _QUAD_KEYS = ("nx", "ny", "nz", "d", "aax", "aay", "aaz", "abx", "aby",
               "abz", "qaa", "qab", "mat")
 _BOX_KEYS = ("x0", "y0", "z0", "x1", "y1", "z1", "mat")
@@ -93,13 +95,36 @@ def pack_tables(scene, sizes):
         return x.astype(jnp.float32)
 
     sp = scene.spheres
+
+    def sph_pad(x):
+        # Pad sphere rows to a cluster multiple; padded rows get act=0.
+        pad = -max(n_sph, 1) % SPH_CLUSTER
+        return jnp.pad(f32(x), (0, pad))
+
+    act = jnp.zeros(max(n_sph, 1), jnp.float32).at[:].set(1.0) if n_sph else jnp.zeros(1, jnp.float32)
     sph = dict(
-        c0x=f32(sp.center0[s_idx, 0]), c0y=f32(sp.center0[s_idx, 1]),
-        c0z=f32(sp.center0[s_idx, 2]),
-        dpx=f32(sp.displacement[s_idx, 0]), dpy=f32(sp.displacement[s_idx, 1]),
-        dpz=f32(sp.displacement[s_idx, 2]),
-        rad=f32(sp.radius[s_idx]), mat=f32(sp.material[s_idx]),
+        c0x=sph_pad(sp.center0[s_idx, 0]), c0y=sph_pad(sp.center0[s_idx, 1]),
+        c0z=sph_pad(sp.center0[s_idx, 2]),
+        dpx=sph_pad(sp.displacement[s_idx, 0]), dpy=sph_pad(sp.displacement[s_idx, 1]),
+        dpz=sph_pad(sp.displacement[s_idx, 2]),
+        rad=sph_pad(sp.radius[s_idx]), mat=sph_pad(sp.material[s_idx]),
+        act=sph_pad(act),
     )
+    # Per-cluster AABBs over the (Morton-sorted) spheres, motion-inclusive:
+    # bounds cover center0 and center0+displacement, each +- radius.
+    n_cl = sph["c0x"].shape[0] // SPH_CLUSTER
+    for axis, (ck, dk) in enumerate((("c0x", "dpx"), ("c0y", "dpy"), ("c0z", "dpz"))):
+        c0 = sph[ck].reshape(n_cl, SPH_CLUSTER)
+        dp = sph[dk].reshape(n_cl, SPH_CLUSTER)
+        r = sph["rad"].reshape(n_cl, SPH_CLUSTER)
+        a_m = sph["act"].reshape(n_cl, SPH_CLUSTER) > 0
+        lo = jnp.minimum(c0, c0 + dp) - r
+        hi = jnp.maximum(c0, c0 + dp) + r
+        lo = jnp.where(a_m, lo, 3.0e38).min(axis=1)
+        hi = jnp.where(a_m, hi, -3.0e38).max(axis=1)
+        name = "xyz"[axis]
+        sph["cb" + name + "0"] = f32(lo)
+        sph["cb" + name + "1"] = f32(hi)
     q = scene.quads
     a_alpha = jnp.cross(q.v, q.w)
     a_beta = jnp.cross(q.w, q.u)
@@ -209,7 +234,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             ok0 = (root0 > t_min) & (root0 < best_t)
             ok1 = (root1 > t_min) & (root1 < best_t)
             root = jnp.where(ok0, root0, root1)
-            closer = has & (ok0 | ok1)
+            closer = has & (ok0 | ok1) & (sph["act"][p] > 0)
             return (
                 jnp.where(closer, root, best_t),
                 jnp.where(closer, 0.0, fam),
@@ -225,7 +250,44 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
             jnp.ones(shape),
         )
-        rec = jax.lax.fori_loop(0, n_sph, sph_body, rec) if n_sph else rec
+        if n_sph and n_sph < 2 * SPH_CLUSTER:
+            rec = jax.lax.fori_loop(0, n_sph, sph_body, rec)
+        elif n_sph:
+            # Cluster-skip sweep: spheres are Morton-sorted into compact
+            # 64-sphere clusters; a tile tests each cluster's AABB against
+            # its live rays and skips the whole cluster when none can hit —
+            # big win for localized groups like book2's 1000-sphere cluster.
+            inv_cdx = 1.0 / jnp.where(jnp.abs(dx) < 1e-12,
+                                      jnp.where(dx < 0, -1e-12, 1e-12), dx)
+            inv_cdy = 1.0 / jnp.where(jnp.abs(dy) < 1e-12,
+                                      jnp.where(dy < 0, -1e-12, 1e-12), dy)
+            inv_cdz = 1.0 / jnp.where(jnp.abs(dz) < 1e-12,
+                                      jnp.where(dz < 0, -1e-12, 1e-12), dz)
+            n_cl = (n_sph + SPH_CLUSTER - 1) // SPH_CLUSTER
+
+            def cluster_body(c, rec):
+                tax = (sph["cbx0"][c] - ox) * inv_cdx
+                tbx = (sph["cbx1"][c] - ox) * inv_cdx
+                tay = (sph["cby0"][c] - oy) * inv_cdy
+                tby = (sph["cby1"][c] - oy) * inv_cdy
+                taz = (sph["cbz0"][c] - oz) * inv_cdz
+                tbz = (sph["cbz1"][c] - oz) * inv_cdz
+                t0 = jnp.maximum(jnp.minimum(tax, tbx),
+                                 jnp.maximum(jnp.minimum(tay, tby),
+                                             jnp.minimum(taz, tbz)))
+                t1 = jnp.minimum(jnp.maximum(tax, tbx),
+                                 jnp.minimum(jnp.maximum(tay, tby),
+                                             jnp.maximum(taz, tbz)))
+                could_hit = alive & (t1 > jnp.maximum(t0, t_min)) & (t0 < rec[0])
+
+                def sweep(rec):
+                    def inner(j, rec):
+                        return sph_body(c * SPH_CLUSTER + j, rec)
+                    return jax.lax.fori_loop(0, SPH_CLUSTER, inner, rec)
+
+                return jax.lax.cond(jnp.any(could_hit), sweep, lambda r: r, rec)
+
+            rec = jax.lax.fori_loop(0, n_cl, cluster_body, rec)
 
         def quad_body(p, rec):
             best_t, fam, mat, r0_, r1_, r2_, aux = rec

@@ -549,11 +549,31 @@ def _walk(node: dict, parent: np.ndarray | None, fl: _Flattener) -> None:
         _walk(child, xform, fl)
 
 
+def _morton3(p: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Morton (Z-order) codes for [N,3] points — spatial sort key so the
+    megakernel's sphere clusters are compact (cluster-level skip)."""
+    lo = p.min(0)
+    ext = np.maximum(p.max(0) - lo, 1e-9)
+    q = np.clip(((p - lo) / ext * ((1 << bits) - 1)).astype(np.uint64), 0, (1 << bits) - 1)
+    code = np.zeros(len(p), np.uint64)
+    for b in range(bits):
+        for axis in range(3):
+            code |= ((q[:, axis] >> b) & 1) << np.uint64(3 * b + axis)
+    return code
+
+
 def flatten(desc: SceneDesc, seed: int = 0, pad: bool = True) -> schema.FlatScene:
     """Compile a parsed scene into the padded SoA pytree (host numpy)."""
     fl = _Flattener(desc.primitives)
     for node in desc.nodes:
         _walk(node, None, fl)
+
+    # Spatially sort spheres (closest-hit is order-independent; the
+    # megakernel's cluster-skip wants compact clusters).
+    if len(fl.spheres) > 2:
+        centers = np.array([s[0] for s in fl.spheres], np.float64).reshape(-1, 3)
+        order = np.argsort(_morton3(centers), kind="stable")
+        fl.spheres = [fl.spheres[i] for i in order]
 
     def round_up(n: int, m: int = 8) -> int:
         return max(((n + m - 1) // m) * m, m) if pad else max(n, 1)

@@ -122,6 +122,39 @@ def test_aa_box_scene_statistical(tmp_path):
 
 
 @pytest.mark.slow
+def test_sphere_cluster_sweep_statistical(tmp_path):
+    """≥128 spheres trigger the Morton-clustered skip sweep; results must
+    match the XLA path statistically."""
+    rs = np.random.RandomState(5)
+    prims = [
+        {"type": "sphere",
+         "center": [float(x) for x in rs.uniform(-6, 6, 3)],
+         "radius": float(rs.uniform(0.2, 0.6)), "material": 0}
+        for _ in range(150)
+    ]
+    prims.append({"type": "quad", "q": [-2, 8, -2], "u": [4, 0, 0],
+                  "v": [0, 0, 4], "material": 1})
+    scene, feat = _scene(tmp_path, {
+        "background_color": [0.15, 0.18, 0.25],
+        "camera": {"fov": 55, "center": [0, 2, 16], "look_at": [0, 0, 0]},
+        "materials": [
+            {"type": "lambertian", "albedo": [0.6, 0.5, 0.4]},
+            {"type": "diffuse_light", "albedo": [5, 5, 5]},
+        ],
+        "primitives": prims,
+    })
+    assert int(np.asarray(scene.spheres.active).sum()) == 150
+    a = _render_batch(scene, feat, 16, 16, 8, 8, mega=False)
+    b = _render_batch(scene, feat, 16, 16, 8, 8, mega=True)
+    from raytrace2_tpu.io import compare
+
+    da = compare.downsample(a, 4)
+    db = compare.downsample(b, 4)
+    np.testing.assert_allclose(da.mean(), db.mean(), rtol=0.1)
+    np.testing.assert_allclose(da, db, atol=0.25)
+
+
+@pytest.mark.slow
 def test_perlin_scene_statistical(data_dir):
     """In-kernel hash-gradient Perlin vs the XLA table-based Perlin: the
     gradient SETS differ (the reference reseeds its tables from
