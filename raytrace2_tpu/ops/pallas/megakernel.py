@@ -56,7 +56,9 @@ _SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat", "act",
 SPH_CLUSTER = 64  # spheres per cluster for the cluster-skip sweep
 _QUAD_KEYS = ("nx", "ny", "nz", "d", "aax", "aay", "aaz", "abx", "aby",
               "abz", "qaa", "qab", "mat")
-_BOX_KEYS = ("x0", "y0", "z0", "x1", "y1", "z1", "mat")
+_BOX_KEYS = ("x0", "y0", "z0", "x1", "y1", "z1", "mat", "act",
+             "cbx0", "cby0", "cbz0", "cbx1", "cby1", "cbz1")
+BOX_CLUSTER = 64  # boxes per cluster for the cluster-skip sweep
 _MED_KEYS = ("btype", "p0x", "p0y", "p0z", "p1x", "p1y", "p1z",
              "dspx", "dspy", "dspz",
              "i00", "i01", "i02", "i03", "i10", "i11", "i12", "i13",
@@ -137,11 +139,27 @@ def pack_tables(scene, sizes):
         mat=f32(q.material[q_idx]),
     )
     bx = scene.boxes
+
+    def box_pad(x):
+        pad = -max(n_box, 1) % BOX_CLUSTER
+        return jnp.pad(f32(x), (0, pad))
+
+    bact = jnp.ones(max(n_box, 1), jnp.float32) if n_box else jnp.zeros(1, jnp.float32)
     boxes = dict(
-        x0=f32(bx.bmin[b_idx, 0]), y0=f32(bx.bmin[b_idx, 1]), z0=f32(bx.bmin[b_idx, 2]),
-        x1=f32(bx.bmax[b_idx, 0]), y1=f32(bx.bmax[b_idx, 1]), z1=f32(bx.bmax[b_idx, 2]),
-        mat=f32(bx.material[b_idx]),
+        x0=box_pad(bx.bmin[b_idx, 0]), y0=box_pad(bx.bmin[b_idx, 1]),
+        z0=box_pad(bx.bmin[b_idx, 2]),
+        x1=box_pad(bx.bmax[b_idx, 0]), y1=box_pad(bx.bmax[b_idx, 1]),
+        z1=box_pad(bx.bmax[b_idx, 2]),
+        mat=box_pad(bx.material[b_idx]), act=box_pad(bact),
     )
+    nb_cl = boxes["x0"].shape[0] // BOX_CLUSTER
+    for axis in range(3):
+        name = "xyz"[axis]
+        lo = boxes[name + "0"].reshape(nb_cl, BOX_CLUSTER)
+        hi = boxes[name + "1"].reshape(nb_cl, BOX_CLUSTER)
+        a_m = boxes["act"].reshape(nb_cl, BOX_CLUSTER) > 0
+        boxes["cb" + name + "0"] = f32(jnp.where(a_m, lo, 3.0e38).min(axis=1))
+        boxes["cb" + name + "1"] = f32(jnp.where(a_m, hi, -3.0e38).max(axis=1))
     md = scene.media
     med = dict(
         btype=f32(md.btype[m_idx]),
@@ -361,6 +379,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                 nxb = jnp.where(ax_x, sgn * jnp.sign(dx), 0.0)
                 nyb = jnp.where(ax_y, sgn * jnp.sign(dy), 0.0)
                 nzb = jnp.where(ax_z, sgn * jnp.sign(dz), 0.0)
+                closer = closer & (boxes["act"][b] > 0)
                 return (
                     jnp.where(closer, t, best_t),
                     jnp.where(closer, 1.0, fam),      # records like a quad
@@ -371,7 +390,34 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                     aux,
                 )
 
-            rec = jax.lax.fori_loop(0, n_box, box_body, rec)
+            if n_box < 2 * BOX_CLUSTER:
+                rec = jax.lax.fori_loop(0, n_box, box_body, rec)
+            else:
+                nb_cl = (n_box + BOX_CLUSTER - 1) // BOX_CLUSTER
+
+                def box_cluster(c, rec):
+                    tax = (boxes["cbx0"][c] - ox) * inv_dx
+                    tbx = (boxes["cbx1"][c] - ox) * inv_dx
+                    tay = (boxes["cby0"][c] - oy) * inv_dy
+                    tby = (boxes["cby1"][c] - oy) * inv_dy
+                    taz = (boxes["cbz0"][c] - oz) * inv_dz
+                    tbz = (boxes["cbz1"][c] - oz) * inv_dz
+                    t0 = jnp.maximum(jnp.minimum(tax, tbx),
+                                     jnp.maximum(jnp.minimum(tay, tby),
+                                                 jnp.minimum(taz, tbz)))
+                    t1 = jnp.minimum(jnp.maximum(tax, tbx),
+                                     jnp.minimum(jnp.maximum(tay, tby),
+                                                 jnp.maximum(taz, tbz)))
+                    could = alive & (t1 > jnp.maximum(t0, t_min)) & (t0 < rec[0])
+
+                    def sweep(rec):
+                        def inner(j, rec):
+                            return box_body(c * BOX_CLUSTER + j, rec)
+                        return jax.lax.fori_loop(0, BOX_CLUSTER, inner, rec)
+
+                    return jax.lax.cond(jnp.any(could), sweep, lambda r: r, rec)
+
+                rec = jax.lax.fori_loop(0, nb_cl, box_cluster, rec)
 
         # Constant media: analytic boundary entry/exit in model space +
         # exponential free path (ConstantMedium.cpp:14-58; semantics match

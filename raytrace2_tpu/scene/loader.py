@@ -568,12 +568,18 @@ def flatten(desc: SceneDesc, seed: int = 0, pad: bool = True) -> schema.FlatScen
     for node in desc.nodes:
         _walk(node, None, fl)
 
-    # Spatially sort spheres (closest-hit is order-independent; the
-    # megakernel's cluster-skip wants compact clusters).
+    # Spatially sort spheres and AA boxes (closest-hit is order-independent;
+    # the megakernel's cluster-skip wants compact clusters).
     if len(fl.spheres) > 2:
         centers = np.array([s[0] for s in fl.spheres], np.float64).reshape(-1, 3)
         order = np.argsort(_morton3(centers), kind="stable")
         fl.spheres = [fl.spheres[i] for i in order]
+    if len(fl.aaboxes) > 2:
+        centers = np.array(
+            [(b[0] + b[1]) * 0.5 for b in fl.aaboxes], np.float64
+        ).reshape(-1, 3)
+        order = np.argsort(_morton3(centers), kind="stable")
+        fl.aaboxes = [fl.aaboxes[i] for i in order]
 
     def round_up(n: int, m: int = 8) -> int:
         return max(((n + m - 1) // m) * m, m) if pad else max(n, 1)
