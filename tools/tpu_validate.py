@@ -100,7 +100,7 @@ def main() -> int:
         ("cornell_xla", "cornell_box_original.json", 600, 600, 50, False, 32),
         ("volume_mega", "cornell_box_volume.json", 600, 600, 50, True, 64),
         ("book1_mega", "final_render_book_1.json", 600, 337, 50, True, 32),
-        ("book2_xla", "book2_final_scene_10000_samples.json", 600, 600, 50, False, 2),
+        ("book2_mega", "book2_final_scene_10000_samples.json", 600, 600, 50, True, 16),
     ]
     for name, fname, W, H, depth, mega, cap in sweeps:
         try:
