@@ -269,7 +269,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             jnp.ones(shape),
         )
         if n_sph and n_sph < 2 * SPH_CLUSTER:
-            rec = jax.lax.fori_loop(0, n_sph, sph_body, rec)
+            rec = jax.lax.fori_loop(0, n_sph, sph_body, rec, unroll=n_sph)
         elif n_sph:
             # Cluster-skip sweep: spheres are Morton-sorted into compact
             # 64-sphere clusters; a tile tests each cluster's AABB against
@@ -301,7 +301,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                 def sweep(rec):
                     def inner(j, rec):
                         return sph_body(c * SPH_CLUSTER + j, rec)
-                    return jax.lax.fori_loop(0, SPH_CLUSTER, inner, rec)
+                    return jax.lax.fori_loop(0, SPH_CLUSTER, inner, rec, unroll=SPH_CLUSTER)
 
                 return jax.lax.cond(jnp.any(could_hit), sweep, lambda r: r, rec)
 
@@ -337,7 +337,8 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                 aux,
             )
 
-        rec = jax.lax.fori_loop(0, n_quad, quad_body, rec) if n_quad else rec
+        rec = jax.lax.fori_loop(0, n_quad, quad_body, rec,
+                                unroll=n_quad if n_quad <= 64 else 1) if n_quad else rec
 
         # Axis-aligned boxes: slab test, ~5x cheaper than the 6-quad
         # expansion (which still exists for the XLA path). Entry hit at t0
@@ -391,7 +392,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                 )
 
             if n_box < 2 * BOX_CLUSTER:
-                rec = jax.lax.fori_loop(0, n_box, box_body, rec)
+                rec = jax.lax.fori_loop(0, n_box, box_body, rec, unroll=n_box)
             else:
                 nb_cl = (n_box + BOX_CLUSTER - 1) // BOX_CLUSTER
 
@@ -413,7 +414,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                     def sweep(rec):
                         def inner(j, rec):
                             return box_body(c * BOX_CLUSTER + j, rec)
-                        return jax.lax.fori_loop(0, BOX_CLUSTER, inner, rec)
+                        return jax.lax.fori_loop(0, BOX_CLUSTER, inner, rec, unroll=BOX_CLUSTER)
 
                     return jax.lax.cond(jnp.any(could), sweep, lambda r: r, rec)
 
