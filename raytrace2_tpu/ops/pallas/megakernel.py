@@ -24,11 +24,13 @@ relayouts made it ~1000x too slow on real hardware):
   bitwise).
 * Per-tile early exit: `while any(alive) and bounce < max_depth`.
 
-Scope (feature-gated; integrator falls back to the XLA path otherwise):
-spheres + quads, all six material types, solid + checker textures, and
-tables small enough for SMEM (≤ ~512 primitive records). Reference
-semantics: src/cpu_raytrace/Sphere.cpp:7-26, Quad.cpp:19-43,
-Material.cpp, Texture.cpp:7-11.
+Scope: spheres, quads, axis-aligned boxes (slab tests), constant media,
+all six material types, solid/checker textures and hash-gradient Perlin
+noise — every reference corpus scene. Tables live in SMEM (gate:
+MAX_SMEM_RECORDS); sweeps are fully unrolled and cluster-skipped
+(Morton-sorted spheres/boxes). Reference semantics:
+src/cpu_raytrace/Sphere.cpp:7-26, Quad.cpp:19-43, ConstantMedium.cpp,
+Material.cpp, Texture.cpp.
 """
 
 from __future__ import annotations
@@ -66,18 +68,6 @@ _MED_KEYS = ("btype", "p0x", "p0y", "p0z", "p1x", "p1y", "p1z",
 _MAT_KEYS = ("mtype", "alr", "alg", "alb", "param", "tex")
 _TEX_KEYS = ("ttype", "alr", "alg", "alb", "inv_scale", "even", "odd",
              "scale", "ntype")
-
-
-def table_sizes(scene):
-    """(n_spheres, n_quads, n_mats, n_texs) ACTIVE record counts (host)."""
-    import numpy as np
-
-    return (
-        int(np.asarray(scene.spheres.active).sum()),
-        int(np.asarray(scene.quads.active).sum()),
-        scene.materials.mtype.shape[0],
-        scene.textures.ttype.shape[0],
-    )
 
 
 def pack_tables(scene, sizes):
