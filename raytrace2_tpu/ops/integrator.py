@@ -293,7 +293,7 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
     sizes = tuple(features["mega_sizes"])
     tables = mk.pack_tables(scene, sizes)
     radiance = mk.trace_megakernel_batch(
-        camv, tables, scene.background,
+        camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
         n_rays=n_pad, max_depth=max_depth,
         has_checker=bool(features.get("has_checker", True)),
         has_noise=bool(features.get("has_noise", False)),

@@ -197,6 +197,20 @@ def _uniform_from_bits(bits):
     return i.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
+def v4_sample_key(seed, slot, sample):
+    """Exact per-(pixel, sample) key for the v4 kernel — uint32 arithmetic
+    throughout, mirroring rng.murmur_uniforms' construction. (An earlier
+    form derived ``seed*1000003 + sample`` in f32, which loses integer
+    precision above 2^24: for seed >= 17 distinct samples collapsed onto
+    identical keys, silently cutting effective spp.) Shared by the kernel
+    and tests; seeds 0..16 produce the same keys as the old derivation."""
+    seed_u = jnp.asarray(seed).astype(jnp.int32).astype(jnp.uint32)
+    slot_u = jnp.asarray(slot).astype(jnp.uint32)
+    s_u = jnp.asarray(sample).astype(jnp.int32).astype(jnp.uint32)
+    mega = seed_u * jnp.uint32(1000003) + s_u
+    return _mix(slot_u * jnp.uint32(0x9E3779B9) ^ _mix(mega))
+
+
 def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                  n_quad, n_med, n_mat, n_tex, n_box, has_checker, has_noise,
                  shape):
@@ -947,8 +961,14 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
 
     width = n
     for phase in range(phases):
-        cap_next = (width // compaction_ratio // TILE_R) * TILE_R
-        last = phase == phases - 1 or cap_next < TILE_R
+        # True survivor bound: each tile exits with <= TILE_R//ratio live
+        # rays, so the next buffer must hold n_tiles * (TILE_R//ratio)
+        # rounded UP to a tile multiple — rounding down would silently drop
+        # live rays (and their remaining bounces) whenever the tile count
+        # isn't a multiple of the ratio.
+        survivors = (width // TILE_R) * (TILE_R // compaction_ratio)
+        cap_next = ((survivors + TILE_R - 1) // TILE_R) * TILE_R
+        last = phase == phases - 1 or cap_next >= width or cap_next < TILE_R
         min_alive = 0 if last else TILE_R // compaction_ratio
         radiance, state = megakernel_pass(
             state, seed_lane, min_alive, tables, background, **kw
@@ -980,7 +1000,9 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
 
 # camv layout (f32 SMEM): 0:3 pixel00, 3:6 pixel_delta_u, 6:9 pixel_delta_v,
 # 9:12 center, 12:15 defocus_disk_u, 15:18 defocus_disk_v, 18 defocus_angle,
-# 19 width, 20 n_pix, 21 s0, 22 n_samples, 23 sqrt_spp, 24 seed,
+# 19 width, 20 n_pix, 21 s0, 22 n_samples, 23 sqrt_spp, 24 seed (info only —
+# the EXACT seed rides the separate i32 ``seedi`` input: f32 can't represent
+# seed*1000003 above 2^24),
 # 25 pix0 (global pixel id of this shard's first ray — device tiles under
 #          shard_map keep globally-correct pixel identities/RNG streams)
 _CAMV_LEN = 26
@@ -988,7 +1010,7 @@ _CAMV_LEN = 26
 
 def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
                       n_mat, n_tex, n_box, has_checker, has_noise):
-    (camv, bg_r, sph, qd, boxes, med, mats, texs) = refs_in
+    (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs) = refs_in
     out_rr, out_rg, out_rb = refs_out
     shape = (SUBLANES, LANES)
 
@@ -1004,7 +1026,7 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
     s0 = camv[21]
     n_samples = camv[22]
     sqrt_spp = camv[23]
-    seed = camv[24]
+    seed_i = seedi[0]
     yy = jnp.floor(slot_f / width)
     xx = slot_f - yy * width
 
@@ -1012,9 +1034,9 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
 
     def key_for(s_global_f):
         """Per-lane key = mix(pixel·G ^ mix(seed·1000003 + s)) — the same
-        construction as rng.murmur_uniforms / the v3 seed plumbing."""
-        mega = (seed * 1000003.0 + s_global_f).astype(jnp.int32).astype(jnp.uint32)
-        return _mix(slot_u * jnp.uint32(0x9E3779B9) ^ _mix(mega))
+        construction as rng.murmur_uniforms / the v3 seed plumbing, in exact
+        uint32 arithmetic (see v4_sample_key)."""
+        return v4_sample_key(seed_i, slot_u, s_global_f)
 
     def cam_draw(key, k):
         c = jnp.uint32(0x40000000 + k)
@@ -1108,12 +1130,13 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
     static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
                      "sizes", "interpret"),
 )
-def trace_megakernel_batch(camv, tables, background, *, n_rays, max_depth,
-                           has_checker, has_noise=False, sizes=None,
-                           interpret=False):
+def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
+                           max_depth, has_checker, has_noise=False,
+                           sizes=None, interpret=False):
     """Sum of n_samples progressive samples for every pixel, one kernel
     launch. ``camv`` is the _CAMV_LEN f32 control vector (camera frame +
-    batch params); n_rays = padded pixel count (multiple of TILE_R).
+    batch params); ``seedi`` the exact i32 seed (f32 camv can't carry it);
+    n_rays = padded pixel count (multiple of TILE_R).
     Returns radiance-sum [n_rays, 3]."""
     assert n_rays % TILE_R == 0
     rows = n_rays // LANES
@@ -1131,8 +1154,9 @@ def trace_megakernel_batch(camv, tables, background, *, n_rays, max_depth,
 
     def kern(*refs):
         camv_r = refs[0]
-        bg_r = refs[1]
-        pos = 2
+        seedi_r = refs[1]
+        bg_r = refs[2]
+        pos = 3
         sph_r = dict(zip(_SPH_KEYS, refs[pos:pos + len(_SPH_KEYS)]))
         pos += len(_SPH_KEYS)
         qd_r = dict(zip(_QUAD_KEYS, refs[pos:pos + len(_QUAD_KEYS)]))
@@ -1147,7 +1171,8 @@ def trace_megakernel_batch(camv, tables, background, *, n_rays, max_depth,
         pos += len(_TEX_KEYS)
         outs = refs[pos:pos + 3]
         _render_kernel_v4(
-            (camv_r, bg_r, sph_r, qd_r, box_r, med_r, mat_r, tex_r), outs, **kw
+            (camv_r, seedi_r, bg_r, sph_r, qd_r, box_r, med_r, mat_r, tex_r),
+            outs, **kw
         )
 
     n_tables = (len(_SPH_KEYS) + len(_QUAD_KEYS) + len(_BOX_KEYS)
@@ -1155,7 +1180,7 @@ def trace_megakernel_batch(camv, tables, background, *, n_rays, max_depth,
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[smem_spec] * (2 + n_tables),
+        in_specs=[smem_spec] * (3 + n_tables),
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32) for _ in range(3)
@@ -1166,6 +1191,7 @@ def trace_megakernel_batch(camv, tables, background, *, n_rays, max_depth,
         ),
     )(
         jnp.asarray(camv, jnp.float32),
+        jnp.asarray(seedi, jnp.int32).reshape(1),
         jnp.asarray(background, jnp.float32),
         *(sph[k] for k in _SPH_KEYS),
         *(qd[k] for k in _QUAD_KEYS),

@@ -174,17 +174,20 @@ def render_grad_sharded(scene, features, target, seed, *, width, height,
     total = mesh.shape["dp"] * mesh.shape["sp"]  # both axes shard pixels here
     pad = (-n) % total
     pixel_ids = jnp.arange(n + pad, dtype=jnp.int32) % n
+    # Pad rows wrap onto pixels 0..pad-1; weight them out of the loss so
+    # every pixel contributes exactly once regardless of mesh size.
+    weights = (jnp.arange(n + pad) < n).astype(jnp.float32)
     tgt_flat = target.reshape(n, 3)
     tgt_flat = jnp.concatenate([tgt_flat, tgt_flat[:pad]]) if pad else tgt_flat
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(("sp", "dp")), P(("sp", "dp"))),
+        in_specs=(P(), P(("sp", "dp")), P(("sp", "dp")), P(("sp", "dp"))),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def go(scene, my_pixels, my_target):
+    def go(scene, my_pixels, my_target, my_weights):
         def local_loss(scene):
             acc = jnp.zeros((my_pixels.shape[0], 3), jnp.float32)
             for s in range(n_samples):
@@ -200,7 +203,7 @@ def render_grad_sharded(scene, features, target, seed, *, width, height,
                     differentiable=True,
                 )
             img = acc / n_samples
-            return jnp.sum((img - my_target) ** 2)
+            return jnp.sum(my_weights[:, None] * (img - my_target) ** 2)
 
         loss, g = jax.value_and_grad(local_loss, allow_int=True)(scene)
         loss = jax.lax.psum(loss, ("sp", "dp"))
@@ -215,7 +218,7 @@ def render_grad_sharded(scene, features, target, seed, *, width, height,
         g = jax.tree_util.tree_map(reduce_leaf, g)
         return loss, g
 
-    return go(scene, pixel_ids, tgt_flat)
+    return go(scene, pixel_ids, tgt_flat, weights)
 
 
 def train_step_analog(scene, features, state, seed, *, width, height, max_depth,

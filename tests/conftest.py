@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# Persistent compilation cache: the suite's cost is dominated by jit
+# compiles (9m+ cold); cached recompiles cut reruns to ~2 min. CPU-only
+# (the TPU cache lives in .jax_cache/, managed by the CLI/bench).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 REFERENCE_DATA = "/root/reference/data"
 

@@ -22,6 +22,9 @@ def _cam(center=(0, 0, 0), look_at=(0, 0, -1), vfov=90.0, defocus=0.0, focus=1.0
 
 
 import functools
+import pytest
+
+pytestmark = pytest.mark.tier0
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "sqrt_spp"))

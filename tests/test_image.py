@@ -4,6 +4,9 @@ and PNG round-trip."""
 import numpy as np
 
 from raytrace2_tpu.io import image
+import pytest
+
+pytestmark = pytest.mark.tier0
 
 
 def test_to_color_gamma_and_clamp():

@@ -9,6 +9,9 @@ import numpy as np
 from raytrace2_tpu import defs
 from raytrace2_tpu.scene import schema
 from raytrace2_tpu.ops import intersect
+import pytest
+
+pytestmark = pytest.mark.tier0
 
 
 def _ray(o, d, n=1):

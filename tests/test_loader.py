@@ -11,6 +11,8 @@ import pytest
 from raytrace2_tpu import defs
 from raytrace2_tpu.scene import loader
 
+pytestmark = pytest.mark.tier0
+
 ALL_SCENES = sorted(
     os.path.basename(p)
     for p in glob.glob("/root/reference/data/*.json")

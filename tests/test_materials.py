@@ -8,6 +8,9 @@ import numpy as np
 from raytrace2_tpu import defs
 from raytrace2_tpu.scene import schema
 from raytrace2_tpu.ops import intersect, materials
+import pytest
+
+pytestmark = pytest.mark.tier0
 
 
 def _scene_with_materials(mtype, albedo=None, param=None, tex=None, background=(0, 0, 0)):

@@ -85,9 +85,13 @@ def test_cornell_statistical_agreement(data_dir):
     np.testing.assert_allclose(da, db, atol=0.25)
 
 
-def test_phased_equals_single_pass(data_dir):
+@pytest.mark.parametrize("n_tiles,ratio", [(2, 4), (3, 2)])
+def test_phased_equals_single_pass(data_dir, n_tiles, ratio):
     """Cross-tile compaction must not change results: per-ray RNG streams
-    are keyed by stable ray ids, so phased == single-pass bitwise."""
+    are keyed by stable ray ids, so phased == single-pass bitwise. The
+    (2, 4) case compacts 2 tiles into 1; (3, 2) is the survivor-overflow
+    regression — 3 tiles x 2048 survivors = 6144 needs a 2-tile next buffer
+    (a floor-based cap sized it at 1 tile and silently dropped live rays)."""
     import jax.numpy as jnp
     from raytrace2_tpu.ops.pallas import megakernel as mk
     from raytrace2_tpu.ops import camera as cam_ops, rng
@@ -95,7 +99,7 @@ def test_phased_equals_single_pass(data_dir):
     scene, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
     feat = scene.features()
     dev = schema.to_device(scene)
-    n = 2 * mk.TILE_R
+    n = n_tiles * mk.TILE_R
     w, h = 128, n // 128
     keys = jax.vmap(lambda p: rng.pixel_sample_key(0, p, 0))(
         jnp.arange(n, dtype=jnp.int32)
@@ -108,7 +112,7 @@ def test_phased_equals_single_pass(data_dir):
     single = mk.trace_megakernel(o, d, t, 7, tables, dev.background,
                                  phases=1, **kw)
     phased = mk.trace_megakernel(o, d, t, 7, tables, dev.background,
-                                 phases=3, compaction_ratio=4, **kw)
+                                 phases=3, compaction_ratio=ratio, **kw)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(phased))
 
 

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytrace2_tpu.ops import rng
+import pytest
+
+pytestmark = pytest.mark.tier0
 
 
 def _keys(n, seed=0):

@@ -83,14 +83,16 @@ def test_train_step_analog_accumulates(cornell):
     assert np.isfinite(np.asarray(state.accum)).all()
 
 
-def test_distributed_gradient_matches_single_device(cornell):
-    """Pixel-sharded value_and_grad with psum == single-device gradient."""
+@pytest.mark.parametrize("w,h", [(8, 8), (9, 7)])
+def test_distributed_gradient_matches_single_device(cornell, w, h):
+    """Pixel-sharded value_and_grad with psum == single-device gradient.
+    (9, 7) = 63 pixels over 8 devices: the padded rows must be weighted out
+    of the loss, not double-counted."""
     import dataclasses
 
     from raytrace2_tpu import grad as grad_mod
 
     scene, features = cornell
-    w = h = 8
     kw = dict(width=w, height=h, max_depth=3, sqrt_spp=1, n_samples=2)
     target = jnp.zeros((h, w, 3))
 

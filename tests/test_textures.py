@@ -11,6 +11,9 @@ from raytrace2_tpu import defs
 from raytrace2_tpu.scene import perlin
 from raytrace2_tpu.ops import textures as tex_ops
 from raytrace2_tpu.scene import schema
+import pytest
+
+pytestmark = pytest.mark.tier0
 
 
 def _tex_tables(n_tex=2, seed=3):
