@@ -18,8 +18,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)
 
 
 def _aabb_hit(mn, mx, o, inv_d, t0, t1):
@@ -78,8 +79,13 @@ def traverse_one(bvh, leaf_fn, o, d, t_min, t_max, max_depth: int):
         sp = sp + push.astype(jnp.int32)
         return sp, stack, best_t, best_p
 
+    # np scalars (not jnp): jax.Array scalar constants become hoisted const
+    # invars of the jaxpr under jax 0.9's simplified-constants mode, and the
+    # cached C++ jit fastpath fails to re-supply them on the second call
+    # ("Execution supplied 34 buffers but compiled program expected 36").
+    # numpy scalars inline as literals and sidestep the bug entirely.
     stack = jnp.zeros(stack_size, jnp.int32)
-    state = (jnp.int32(1), stack, t_max, jnp.int32(-1))
+    state = (np.int32(1), stack, t_max, np.int32(-1))
     _, _, best_t, best_p = jax.lax.while_loop(cond, body, state)
     return best_t, best_p
 

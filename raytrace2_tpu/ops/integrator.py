@@ -136,6 +136,13 @@ def trace_rays(scene, features, o, d, time, keys, max_depth: int,
     ):
         return _trace_megakernel(scene, features, o, d, time, mega_seed, max_depth)
 
+    if differentiable:
+        # The BVH walk (while_loop) is not reverse-differentiable; gradients
+        # take the dense sweep. Discrete hit SELECTION is detached either way
+        # (see grad.py), so the estimator is unchanged.
+        features = dict(features)
+        features.pop("use_bvh_spheres", None)
+
     n = o.shape[0]
     background = scene.background
     step = _make_step(scene, features, background)
@@ -265,6 +272,27 @@ def render_sample(scene, features, width: int, height: int, sample_idx, seed,
     return radiance.reshape(height, width, 3)
 
 
+def mega_schedule(features):
+    """(sublanes, wave_frac, linear) for the v4 kernel. Cluster-heavy scenes
+    use fine 8x128 tiles mapped to 32x32-pixel blocks and wave regeneration
+    at 0.5 occupancy so the per-tile cluster skips see coherent ray sets;
+    small scenes (Cornell-class, where every record is swept anyway) keep
+    wide tiles, instant regeneration, and the padding-free linear lane
+    layout. All three knobs are pure scheduling — the image is bitwise
+    identical — and can be overridden via the ``mega_sublanes`` /
+    ``mega_wave_frac`` / ``mega_linear`` features for measurement."""
+    from raytrace2_tpu.ops.pallas import megakernel as mk
+
+    ms = features.get("mega_sizes") or (0,) * 6
+    n_records = ms[0] + ms[1] + ms[4] + ms[5]
+    big = n_records > 512
+    sublanes = int(features.get(
+        "mega_sublanes", mk.SUBLANES_LARGE if big else mk.SUBLANES))
+    wave_frac = float(features.get("mega_wave_frac", 0.5 if big else 1.0))
+    linear = bool(features.get("mega_linear", not big))
+    return sublanes, wave_frac, linear
+
+
 def _render_batch_megakernel(scene, features, width, height, sample0,
                              n_samples, seed, max_depth, sqrt_spp,
                              pix0=0, n_local=None):
@@ -275,8 +303,11 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
     from raytrace2_tpu.ops.pallas import megakernel as mk
 
     n_total = width * height
-    n = n_local if n_local is not None else n_total  # rays this shard renders
-    n_pad = ((n + mk.TILE_R - 1) // mk.TILE_R) * mk.TILE_R
+    sublanes, wave_frac, linear = mega_schedule(features)
+    tile_r, block = mk.tile_block(sublanes)
+    n_slots, slot_of_pixel = mk.pixel_slots(width, height, sublanes, linear)
+    n = n_local if n_local is not None else n_slots  # lanes this shard runs
+    n_pad = ((n + tile_r - 1) // tile_r) * tile_r
     frame = camera_ops.camera_frame(scene.camera, width, height)
     camv = jnp.concatenate([
         frame["pixel00"], frame["pixel_delta_u"], frame["pixel_delta_v"],
@@ -288,6 +319,7 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
             jnp.asarray(n_samples, jnp.float32),
             jnp.float32(sqrt_spp), jnp.float32(seed),
             jnp.asarray(pix0, jnp.float32),
+            jnp.float32(-(-width // block)), jnp.float32(height),
         ]),
     ])
     sizes = tuple(features["mega_sizes"])
@@ -299,10 +331,14 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         has_noise=bool(features.get("has_noise", False)),
         sizes=sizes,
         interpret=bool(features.get("mega_interpret", False)),
+        sublanes=sublanes, wave_frac=wave_frac, linear_slots=linear,
     )
     if n_local is not None:
-        return radiance[:n]          # sharded caller keeps the flat tile
-    return radiance[:n].reshape(height, width, 3)
+        return radiance[:n]          # sharded caller keeps the flat slot tile
+    if linear:
+        return radiance[:n_total].reshape(height, width, 3)
+    # De-tile: gather each pixel's lane (block-tiled layout).
+    return radiance[slot_of_pixel.reshape(-1)].reshape(height, width, 3)
 
 
 def render_progressive(scene, features, width: int, height: int, sample0,

@@ -316,6 +316,41 @@ def _sphere_quad_best_pallas(scene, o, d, time, t_min, t_max):
     return bt_s, bi_s, bt_q, bi_q
 
 
+def _sphere_best_bvh(scene, o, d, time, t_min, t_max, max_depth: int):
+    """Per-ray best (t, sphere index) via the flattened BVH
+    (ops/bvh_traverse.py) — the sublinear path for large scenes on the
+    XLA/CPU backend. Same accepted-root semantics as _sphere_ts
+    (src/cpu_raytrace/Sphere.cpp:7-26, strict Interval::Surrounds)."""
+    from raytrace2_tpu.ops import bvh_traverse
+
+    sp = scene.spheres
+
+    def one(oo, dd, tt, lo0, hi0):
+        def leaf_fn(prim, lo, hi):
+            c = sp.center0[prim] + tt * sp.displacement[prim]
+            oc = c - oo
+            a = jnp.dot(dd, dd)
+            h = jnp.dot(dd, oc)
+            cc = jnp.dot(oc, oc) - sp.radius[prim] * sp.radius[prim]
+            disc = h * h - a * cc
+            has = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            r0 = (h - sq) / a
+            r1 = (h + sq) / a
+            ok0 = (r0 > lo) & (r0 < hi)
+            ok1 = (r1 > lo) & (r1 < hi)
+            root = jnp.where(ok0, r0, r1)
+            return jnp.where(has & (ok0 | ok1), root, BIG)
+
+        return bvh_traverse.traverse_one(
+            scene.sphere_bvh, leaf_fn, oo, dd, lo0, hi0, max_depth
+        )
+
+    bt, bp = jax.vmap(one)(o, d, time, t_min, t_max)
+    miss = bp < 0
+    return jnp.where(miss, BIG, bt), jnp.where(miss, 0, bp)
+
+
 def closest_hit(scene, o, d, time, u_media=None, t_min=None, t_max=None,
                 features=None) -> Hit:
     """Closest hit of N rays against the whole scene.
@@ -344,6 +379,17 @@ def closest_hit(scene, o, d, time, u_media=None, t_min=None, t_max=None,
         bt_s, bi_s, bt_q, bi_q = _sphere_quad_best_pallas(
             scene, o, d, time, t_min, t_max
         )
+    elif (
+        features.get("use_bvh_spheres", False)
+        and getattr(scene, "sphere_bvh", None) is not None
+    ):
+        bt_s, bi_s = _sphere_best_bvh(
+            scene, o, d, time, t_min, t_max,
+            int(features["bvh_depth"]),
+        )
+        ts_q = _quad_ts(scene.quads, o, d, t_min, t_max)
+        bt_q = jnp.min(ts_q, -1)
+        bi_q = jnp.argmin(ts_q, -1)
     else:
         ts_s = _sphere_ts(scene.spheres, o, d, time, t_min, t_max)
         ts_q = _quad_ts(scene.quads, o, d, t_min, t_max)

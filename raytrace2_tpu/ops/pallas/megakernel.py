@@ -53,14 +53,28 @@ TILE_R = SUBLANES * LANES
 # (book2: 3.4k records x ~21 f32 params ≈ 160 KB of SMEM tables - fits.)
 MAX_SMEM_RECORDS = 4096
 
+# Two-level cluster hierarchy over the kd-ordered primitives
+# (loader._kd_order): 16-record L1 clusters grouped 8-up into 128-record L2
+# superclusters, each with a precomputed AABB in SMEM, plus 6 precomputed
+# supercluster visit orders (ascending centroid along ±x/±y/±z) so each
+# bounce walks roughly front-to-back for its tile's dominant direction and
+# the per-ray `t0 < best_t` test prunes far superclusters. This is the
+# in-kernel form of the reference's BVH (src/cpu_raytrace/BVH.cpp:10-55):
+# same median-split-on-longest-axis build (host side), fixed two-level
+# fan-out instead of a binary walk because TPU tiles are 4096 rays wide and
+# descend/skip decisions are taken per tile (scalar branch), not per ray.
+_CLUSTER_AABB_KEYS = ("cbx0", "cby0", "cbz0", "cbx1", "cby1", "cbz1",
+                      "sbx0", "sby0", "sbz0", "sbx1", "sby1", "sbz1", "ord")
 _SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat", "act",
-             "cbx0", "cby0", "cbz0", "cbx1", "cby1", "cbz1")
-SPH_CLUSTER = 64  # spheres per cluster for the cluster-skip sweep
+             ) + _CLUSTER_AABB_KEYS
+SPH_CLUSTER = 16   # spheres per L1 cluster
+SPH_SUPER = 128    # spheres per L2 supercluster (8 L1 clusters)
 _QUAD_KEYS = ("nx", "ny", "nz", "d", "aax", "aay", "aaz", "abx", "aby",
               "abz", "qaa", "qab", "mat")
 _BOX_KEYS = ("x0", "y0", "z0", "x1", "y1", "z1", "mat", "act",
-             "cbx0", "cby0", "cbz0", "cbx1", "cby1", "cbz1")
-BOX_CLUSTER = 64  # boxes per cluster for the cluster-skip sweep
+             ) + _CLUSTER_AABB_KEYS
+BOX_CLUSTER = 16
+BOX_SUPER = 128
 _MED_KEYS = ("btype", "p0x", "p0y", "p0z", "p1x", "p1y", "p1z",
              "dspx", "dspy", "dspz",
              "i00", "i01", "i02", "i03", "i10", "i11", "i12", "i13",
@@ -68,6 +82,37 @@ _MED_KEYS = ("btype", "p0x", "p0y", "p0z", "p1x", "p1y", "p1z",
 _MAT_KEYS = ("mtype", "alr", "alg", "alb", "param", "tex")
 _TEX_KEYS = ("ttype", "alr", "alg", "alb", "inv_scale", "even", "odd",
              "scale", "ntype")
+
+
+def _cluster_tables(tbl, lo, hi, act_mask, cluster, super_):
+    """Fill ``tbl`` with the two-level cluster AABBs and visit orders.
+
+    lo/hi: [P,3] per-record AABBs (P a multiple of ``super_``); inactive
+    (padding) records get ±BIG bounds so empty clusters fail every slab test.
+    Emits cb* (L1, per-``cluster``), sb* (L2, per-``super_``), and ``ord``:
+    a [6 * n_l2] table of supercluster ids, ascending centroid along
+    +x,-x,+y,-y,+z,-z — the kernel picks the row matching its tile's
+    dominant ray direction so best_t shrinks front-to-back."""
+    lo = jnp.where(act_mask[:, None], lo, BIG)
+    hi = jnp.where(act_mask[:, None], hi, -BIG)
+    n_cl = lo.shape[0] // cluster
+    n_l2 = lo.shape[0] // super_
+    cl_lo = lo.reshape(n_cl, cluster, 3).min(axis=1)
+    cl_hi = hi.reshape(n_cl, cluster, 3).max(axis=1)
+    sb_lo = lo.reshape(n_l2, super_, 3).min(axis=1)
+    sb_hi = hi.reshape(n_l2, super_, 3).max(axis=1)
+    for axis, name in enumerate("xyz"):
+        tbl["cb" + name + "0"] = cl_lo[:, axis]
+        tbl["cb" + name + "1"] = cl_hi[:, axis]
+        tbl["sb" + name + "0"] = sb_lo[:, axis]
+        tbl["sb" + name + "1"] = sb_hi[:, axis]
+    cen = (sb_lo + sb_hi) * 0.5  # [n_l2, 3]; empty superclusters -> 0
+    orders = []
+    for axis in range(3):
+        asc = jnp.argsort(cen[:, axis])
+        orders.append(asc)
+        orders.append(asc[::-1])
+    tbl["ord"] = jnp.concatenate(orders).astype(jnp.float32)
 
 
 def pack_tables(scene, sizes):
@@ -89,8 +134,8 @@ def pack_tables(scene, sizes):
     sp = scene.spheres
 
     def sph_pad(x):
-        # Pad sphere rows to a cluster multiple; padded rows get act=0.
-        pad = -max(n_sph, 1) % SPH_CLUSTER
+        # Pad sphere rows to a supercluster multiple; padded rows get act=0.
+        pad = -max(n_sph, 1) % SPH_SUPER
         return jnp.pad(f32(x), (0, pad))
 
     act = jnp.zeros(max(n_sph, 1), jnp.float32).at[:].set(1.0) if n_sph else jnp.zeros(1, jnp.float32)
@@ -102,21 +147,22 @@ def pack_tables(scene, sizes):
         rad=sph_pad(sp.radius[s_idx]), mat=sph_pad(sp.material[s_idx]),
         act=sph_pad(act),
     )
-    # Per-cluster AABBs over the (Morton-sorted) spheres, motion-inclusive:
-    # bounds cover center0 and center0+displacement, each +- radius.
+    # Per-cluster (L1, 16) and per-supercluster (L2, 128) AABBs over the
+    # kd-ordered spheres, motion-inclusive: bounds cover center0 and
+    # center0+displacement, each ± radius. Plus the 6 direction-sorted
+    # supercluster visit orders.
     n_cl = sph["c0x"].shape[0] // SPH_CLUSTER
-    for axis, (ck, dk) in enumerate((("c0x", "dpx"), ("c0y", "dpy"), ("c0z", "dpz"))):
-        c0 = sph[ck].reshape(n_cl, SPH_CLUSTER)
-        dp = sph[dk].reshape(n_cl, SPH_CLUSTER)
-        r = sph["rad"].reshape(n_cl, SPH_CLUSTER)
-        a_m = sph["act"].reshape(n_cl, SPH_CLUSTER) > 0
-        lo = jnp.minimum(c0, c0 + dp) - r
-        hi = jnp.maximum(c0, c0 + dp) + r
-        lo = jnp.where(a_m, lo, 3.0e38).min(axis=1)
-        hi = jnp.where(a_m, hi, -3.0e38).max(axis=1)
-        name = "xyz"[axis]
-        sph["cb" + name + "0"] = f32(lo)
-        sph["cb" + name + "1"] = f32(hi)
+    lo_sph = jnp.minimum(
+        jnp.stack([sph["c0x"], sph["c0y"], sph["c0z"]], -1),
+        jnp.stack([sph["c0x"] + sph["dpx"], sph["c0y"] + sph["dpy"],
+                   sph["c0z"] + sph["dpz"]], -1),
+    ) - sph["rad"][:, None]
+    hi_sph = jnp.maximum(
+        jnp.stack([sph["c0x"], sph["c0y"], sph["c0z"]], -1),
+        jnp.stack([sph["c0x"] + sph["dpx"], sph["c0y"] + sph["dpy"],
+                   sph["c0z"] + sph["dpz"]], -1),
+    ) + sph["rad"][:, None]
+    _cluster_tables(sph, lo_sph, hi_sph, sph["act"] > 0, SPH_CLUSTER, SPH_SUPER)
     q = scene.quads
     a_alpha = jnp.cross(q.v, q.w)
     a_beta = jnp.cross(q.w, q.u)
@@ -131,7 +177,7 @@ def pack_tables(scene, sizes):
     bx = scene.boxes
 
     def box_pad(x):
-        pad = -max(n_box, 1) % BOX_CLUSTER
+        pad = -max(n_box, 1) % BOX_SUPER
         return jnp.pad(f32(x), (0, pad))
 
     bact = jnp.ones(max(n_box, 1), jnp.float32) if n_box else jnp.zeros(1, jnp.float32)
@@ -142,14 +188,9 @@ def pack_tables(scene, sizes):
         z1=box_pad(bx.bmax[b_idx, 2]),
         mat=box_pad(bx.material[b_idx]), act=box_pad(bact),
     )
-    nb_cl = boxes["x0"].shape[0] // BOX_CLUSTER
-    for axis in range(3):
-        name = "xyz"[axis]
-        lo = boxes[name + "0"].reshape(nb_cl, BOX_CLUSTER)
-        hi = boxes[name + "1"].reshape(nb_cl, BOX_CLUSTER)
-        a_m = boxes["act"].reshape(nb_cl, BOX_CLUSTER) > 0
-        boxes["cb" + name + "0"] = f32(jnp.where(a_m, lo, 3.0e38).min(axis=1))
-        boxes["cb" + name + "1"] = f32(jnp.where(a_m, hi, -3.0e38).max(axis=1))
+    lo_box = jnp.stack([boxes["x0"], boxes["y0"], boxes["z0"]], -1)
+    hi_box = jnp.stack([boxes["x1"], boxes["y1"], boxes["z1"]], -1)
+    _cluster_tables(boxes, lo_box, hi_box, boxes["act"] > 0, BOX_CLUSTER, BOX_SUPER)
     md = scene.media
     med = dict(
         btype=f32(md.btype[m_idx]),
@@ -209,6 +250,72 @@ def v4_sample_key(seed, slot, sample):
     s_u = jnp.asarray(sample).astype(jnp.int32).astype(jnp.uint32)
     mega = seed_u * jnp.uint32(1000003) + s_u
     return _mix(slot_u * jnp.uint32(0x9E3779B9) ^ _mix(mega))
+
+
+def _safe_inv(c):
+    """1/c with the sign-preserving epsilon clamp used by all slab tests."""
+    return 1.0 / jnp.where(jnp.abs(c) < 1e-12,
+                           jnp.where(c < 0, -1e-12, 1e-12), c)
+
+
+def _hier_sweep(tbl, body_fn, rec, alive, ox, oy, oz, invx, invy, invz,
+                t_min, n_recs, cluster, super_, dir_idx):
+    """Two-level cluster-skip sweep over one primitive family.
+
+    Walks the kd-ordered records through their L2 superclusters (in the
+    tile's dominant-direction front-to-back order) and L1 clusters; a
+    whole supercluster/cluster is skipped when no live ray's interval can
+    intersect its AABB (`t1 > max(t0, t_min)` and `t0 < best_t`). The
+    descend/skip decision is a per-tile scalar branch (`jnp.any`) — the
+    TPU-shaped form of the reference's per-ray BVH walk
+    (src/cpu_raytrace/BVH.cpp:50-55)."""
+    n_pad = -(-max(n_recs, 1) // super_) * super_
+    n_cl = n_pad // cluster
+    n_l2 = n_pad // super_
+    ratio = super_ // cluster
+
+    def could_hit(pre, c, best):
+        tax = (tbl[pre + "x0"][c] - ox) * invx
+        tbx = (tbl[pre + "x1"][c] - ox) * invx
+        tay = (tbl[pre + "y0"][c] - oy) * invy
+        tby = (tbl[pre + "y1"][c] - oy) * invy
+        taz = (tbl[pre + "z0"][c] - oz) * invz
+        tbz = (tbl[pre + "z1"][c] - oz) * invz
+        t0 = jnp.maximum(jnp.minimum(tax, tbx),
+                         jnp.maximum(jnp.minimum(tay, tby),
+                                     jnp.minimum(taz, tbz)))
+        t1 = jnp.minimum(jnp.maximum(tax, tbx),
+                         jnp.minimum(jnp.maximum(tay, tby),
+                                     jnp.maximum(taz, tbz)))
+        return alive & (t1 > jnp.maximum(t0, t_min)) & (t0 < best)
+
+    def sweep_cluster(c1, rec):
+        def inner(k, rec):
+            return body_fn(c1 * cluster + k, rec)
+        return jax.lax.fori_loop(0, cluster, inner, rec, unroll=cluster)
+
+    def l1_body(c1, rec):
+        return jax.lax.cond(
+            jnp.any(could_hit("cb", c1, rec[0])),
+            lambda r: sweep_cluster(c1, r), lambda r: r, rec,
+        )
+
+    if n_l2 < 2:
+        return jax.lax.fori_loop(0, n_cl, l1_body, rec)
+
+    def super_body(i, rec):
+        c2 = tbl["ord"][dir_idx * n_l2 + i].astype(jnp.int32)
+
+        def descend(rec):
+            def l1_in_super(j, rec):
+                return l1_body(c2 * ratio + j, rec)
+            return jax.lax.fori_loop(0, ratio, l1_in_super, rec)
+
+        return jax.lax.cond(
+            jnp.any(could_hit("sb", c2, rec[0])), descend, lambda r: r, rec,
+        )
+
+    return jax.lax.fori_loop(0, n_l2, super_body, rec)
 
 
 def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
@@ -272,44 +379,33 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
             jnp.ones(shape),
         )
-        if n_sph and n_sph < 2 * SPH_CLUSTER:
+        # Dominant live-ray direction of this tile → which of the 6
+        # precomputed front-to-back supercluster orders to walk.
+        hier_sph = n_sph >= 2 * SPH_CLUSTER
+        hier_box = n_box >= 2 * BOX_CLUSTER
+        if hier_sph or hier_box:
+            sxa = jnp.sum(jnp.where(alive, dx, 0.0))
+            sya = jnp.sum(jnp.where(alive, dy, 0.0))
+            sza = jnp.sum(jnp.where(alive, dz, 0.0))
+            axa, aya, aza = jnp.abs(sxa), jnp.abs(sya), jnp.abs(sza)
+            is_x = (axa >= aya) & (axa >= aza)
+            is_y = (~is_x) & (aya >= aza)
+            dir_idx = jnp.where(
+                is_x, jnp.where(sxa >= 0, 0, 1),
+                jnp.where(is_y, jnp.where(sya >= 0, 2, 3),
+                          jnp.where(sza >= 0, 4, 5)),
+            ).astype(jnp.int32)
+        else:
+            dir_idx = jnp.int32(0)
+
+        if n_sph and not hier_sph:
             rec = jax.lax.fori_loop(0, n_sph, sph_body, rec, unroll=n_sph)
         elif n_sph:
-            # Cluster-skip sweep: spheres are Morton-sorted into compact
-            # 64-sphere clusters; a tile tests each cluster's AABB against
-            # its live rays and skips the whole cluster when none can hit —
-            # big win for localized groups like book2's 1000-sphere cluster.
-            inv_cdx = 1.0 / jnp.where(jnp.abs(dx) < 1e-12,
-                                      jnp.where(dx < 0, -1e-12, 1e-12), dx)
-            inv_cdy = 1.0 / jnp.where(jnp.abs(dy) < 1e-12,
-                                      jnp.where(dy < 0, -1e-12, 1e-12), dy)
-            inv_cdz = 1.0 / jnp.where(jnp.abs(dz) < 1e-12,
-                                      jnp.where(dz < 0, -1e-12, 1e-12), dz)
-            n_cl = (n_sph + SPH_CLUSTER - 1) // SPH_CLUSTER
-
-            def cluster_body(c, rec):
-                tax = (sph["cbx0"][c] - ox) * inv_cdx
-                tbx = (sph["cbx1"][c] - ox) * inv_cdx
-                tay = (sph["cby0"][c] - oy) * inv_cdy
-                tby = (sph["cby1"][c] - oy) * inv_cdy
-                taz = (sph["cbz0"][c] - oz) * inv_cdz
-                tbz = (sph["cbz1"][c] - oz) * inv_cdz
-                t0 = jnp.maximum(jnp.minimum(tax, tbx),
-                                 jnp.maximum(jnp.minimum(tay, tby),
-                                             jnp.minimum(taz, tbz)))
-                t1 = jnp.minimum(jnp.maximum(tax, tbx),
-                                 jnp.minimum(jnp.maximum(tay, tby),
-                                             jnp.maximum(taz, tbz)))
-                could_hit = alive & (t1 > jnp.maximum(t0, t_min)) & (t0 < rec[0])
-
-                def sweep(rec):
-                    def inner(j, rec):
-                        return sph_body(c * SPH_CLUSTER + j, rec)
-                    return jax.lax.fori_loop(0, SPH_CLUSTER, inner, rec, unroll=SPH_CLUSTER)
-
-                return jax.lax.cond(jnp.any(could_hit), sweep, lambda r: r, rec)
-
-            rec = jax.lax.fori_loop(0, n_cl, cluster_body, rec)
+            rec = _hier_sweep(
+                sph, sph_body, rec, alive, ox, oy, oz,
+                _safe_inv(dx), _safe_inv(dy), _safe_inv(dz),
+                t_min, n_sph, SPH_CLUSTER, SPH_SUPER, dir_idx,
+            )
 
         def quad_body(p, rec):
             best_t, fam, mat, r0_, r1_, r2_, aux = rec
@@ -349,12 +445,9 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
         # with the entering face's outward normal, exit hit at t1 for rays
         # starting inside — identical surfaces/records to the quad form.
         if n_box:
-            inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-12,
-                                     jnp.where(dx < 0, -1e-12, 1e-12), dx)
-            inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-12,
-                                     jnp.where(dy < 0, -1e-12, 1e-12), dy)
-            inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-12,
-                                     jnp.where(dz < 0, -1e-12, 1e-12), dz)
+            inv_dx = _safe_inv(dx)
+            inv_dy = _safe_inv(dy)
+            inv_dz = _safe_inv(dz)
 
             def box_body(b, rec):
                 best_t, fam, mat, r0_, r1_, r2_, aux = rec
@@ -395,34 +488,14 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                     aux,
                 )
 
-            if n_box < 2 * BOX_CLUSTER:
+            if not hier_box:
                 rec = jax.lax.fori_loop(0, n_box, box_body, rec, unroll=n_box)
             else:
-                nb_cl = (n_box + BOX_CLUSTER - 1) // BOX_CLUSTER
-
-                def box_cluster(c, rec):
-                    tax = (boxes["cbx0"][c] - ox) * inv_dx
-                    tbx = (boxes["cbx1"][c] - ox) * inv_dx
-                    tay = (boxes["cby0"][c] - oy) * inv_dy
-                    tby = (boxes["cby1"][c] - oy) * inv_dy
-                    taz = (boxes["cbz0"][c] - oz) * inv_dz
-                    tbz = (boxes["cbz1"][c] - oz) * inv_dz
-                    t0 = jnp.maximum(jnp.minimum(tax, tbx),
-                                     jnp.maximum(jnp.minimum(tay, tby),
-                                                 jnp.minimum(taz, tbz)))
-                    t1 = jnp.minimum(jnp.maximum(tax, tbx),
-                                     jnp.minimum(jnp.maximum(tay, tby),
-                                                 jnp.maximum(taz, tbz)))
-                    could = alive & (t1 > jnp.maximum(t0, t_min)) & (t0 < rec[0])
-
-                    def sweep(rec):
-                        def inner(j, rec):
-                            return box_body(c * BOX_CLUSTER + j, rec)
-                        return jax.lax.fori_loop(0, BOX_CLUSTER, inner, rec, unroll=BOX_CLUSTER)
-
-                    return jax.lax.cond(jnp.any(could), sweep, lambda r: r, rec)
-
-                rec = jax.lax.fori_loop(0, nb_cl, box_cluster, rec)
+                rec = _hier_sweep(
+                    boxes, box_body, rec, alive, ox, oy, oz,
+                    inv_dx, inv_dy, inv_dz,
+                    t_min, n_box, BOX_CLUSTER, BOX_SUPER, dir_idx,
+                )
 
         # Constant media: analytic boundary entry/exit in model space +
         # exponential free path (ConstantMedium.cpp:14-58; semantics match
@@ -1003,40 +1076,100 @@ def trace_megakernel(o, d, time, seed_lane, tables, background, *,
 # 19 width, 20 n_pix, 21 s0, 22 n_samples, 23 sqrt_spp, 24 seed (info only —
 # the EXACT seed rides the separate i32 ``seedi`` input: f32 can't represent
 # seed*1000003 above 2^24),
-# 25 pix0 (global pixel id of this shard's first ray — device tiles under
-#          shard_map keep globally-correct pixel identities/RNG streams)
-_CAMV_LEN = 26
+# 25 slot0 (global slot id of this shard's first lane — device tiles under
+#          shard_map keep globally-correct pixel identities/RNG streams),
+# 26 nbx (pixel-block grid width), 27 image height.
+#
+# Lane→pixel mapping is BLOCK-TILED: each TILE_R-lane kernel tile owns one
+# BLOCK×BLOCK pixel block (row-major blocks, row-major pixels inside). A
+# linear mapping would hand each tile a full-width strip ~7 rows tall whose
+# rays span the whole scene horizontally; a square block's primary rays form
+# a tight frustum, which is what makes the per-tile cluster skips in
+# _hier_sweep actually fire. RNG keys are derived from the PIXEL id, so the
+# rendered image is bitwise independent of the lane layout. Out-of-image
+# lanes (edge blocks) idle — lanes are vector width, so they cost nothing.
+SUBLANES_LARGE = 8  # fine tiles (32x32-pixel blocks) for cluster-heavy scenes
+_CAMV_LEN = 28
+
+
+def tile_block(sublanes: int):
+    """(tile_r, block) for a given sublane count; tiles are square pixel
+    blocks (8x128 lanes -> 32x32 pixels, 32x128 -> 64x64)."""
+    tile_r = sublanes * LANES
+    block = int(tile_r ** 0.5)
+    assert block * block == tile_r, sublanes
+    return tile_r, block
+
+
+def pixel_slots(width: int, height: int, sublanes: int = SUBLANES,
+                linear: bool = False):
+    """(n_slots, slot_of_pixel [H,W]) for the lane mapping.
+
+    ``linear`` (small scenes): slot == pixel id, zero padding waste beyond
+    the final tile. Block-tiled (cluster scenes): square pixel blocks per
+    tile; edge blocks carry idle out-of-image lanes (~10% on 600²), paid
+    only where the coherence actually buys sweep skips."""
+    tile_r, block = tile_block(sublanes)
+    if linear:
+        n_pix = width * height
+        n_slots = -(-n_pix // tile_r) * tile_r
+        return n_slots, jnp.arange(n_pix, dtype=jnp.int32).reshape(height, width)
+    nbx = -(-width // block)
+    nby = -(-height // block)
+    n_slots = nbx * nby * tile_r
+    xs = jnp.arange(width, dtype=jnp.int32)
+    ys = jnp.arange(height, dtype=jnp.int32)
+    tile = (ys[:, None] // block) * nbx + xs[None, :] // block
+    slot = tile * tile_r + (ys[:, None] % block) * block + xs[None, :] % block
+    return n_slots, slot
 
 
 def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
-                      n_mat, n_tex, n_box, has_checker, has_noise):
+                      n_mat, n_tex, n_box, has_checker, has_noise,
+                      sublanes=SUBLANES, wave_frac=1.0, linear_slots=False):
     (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs) = refs_in
     out_rr, out_rg, out_rb = refs_out
-    shape = (SUBLANES, LANES)
+    shape = (sublanes, LANES)
+    tile_r, block = tile_block(sublanes)
 
     slot_i = (
-        pl.program_id(0) * TILE_R
+        pl.program_id(0) * tile_r
         + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     ) + camv[25].astype(jnp.int32)
-    slot_u = slot_i.astype(jnp.uint32)
     slot_f = slot_i.astype(jnp.float32)
     width = camv[19]
-    n_pix = camv[20]
+    height = camv[27]
+    nbx = camv[26]
     s0 = camv[21]
     n_samples = camv[22]
     sqrt_spp = camv[23]
     seed_i = seedi[0]
-    yy = jnp.floor(slot_f / width)
-    xx = slot_f - yy * width
-
-    in_grid = slot_f < n_pix
+    # Slot → pixel (see layout comment above; all values < 2^24 so f32
+    # arithmetic is exact). Either mapping yields identical images — RNG is
+    # keyed by pixel id — linear just avoids edge-block padding lanes.
+    if linear_slots:
+        yy = jnp.floor(slot_f / width)
+        xx = slot_f - yy * width
+        in_grid = slot_f < camv[20]
+    else:
+        tile_f = jnp.floor(slot_f * jnp.float32(1.0 / tile_r))
+        within = slot_f - tile_f * tile_r
+        by = jnp.floor(tile_f / nbx)
+        bx = tile_f - by * nbx
+        ly = jnp.floor(within * jnp.float32(1.0 / block))
+        lx = within - ly * block
+        xx = bx * block + lx
+        yy = by * block + ly
+        in_grid = (xx < width) & (yy < height)
+    pid_u = (yy * width + xx).astype(jnp.int32).astype(jnp.uint32)
 
     def key_for(s_global_f):
         """Per-lane key = mix(pixel·G ^ mix(seed·1000003 + s)) — the same
         construction as rng.murmur_uniforms / the v3 seed plumbing, in exact
-        uint32 arithmetic (see v4_sample_key)."""
-        return v4_sample_key(seed_i, slot_u, s_global_f)
+        uint32 arithmetic (see v4_sample_key). Keyed by PIXEL id, so the
+        image doesn't depend on the block-tiled lane layout."""
+        return v4_sample_key(seed_i, pid_u, s_global_f)
 
     def cam_draw(key, k):
         c = jnp.uint32(0x40000000 + k)
@@ -1082,11 +1215,23 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
     )
 
     zero = jnp.zeros(shape)
+    n_lanes_img = jnp.sum(jnp.where(in_grid, 1.0, 0.0))
 
     def body(carry):
         (s_lane, bn, al, ox, oy, oz, dx, dy, dz, tm,
          tpr, tpg, tpb, rr, rg, rb) = carry
         need = (al <= 0.0) & (s_lane < n_samples - 1.0) & in_grid
+        if wave_frac < 1.0:
+            # WAVE regeneration: hold dead lanes until tile occupancy drops
+            # to wave_frac, then refill them all at once. Fresh rays then
+            # enter bounce-ALIGNED (a coherent camera-frustum wave), which
+            # is what lets _hier_sweep's per-tile cluster skips fire; the
+            # instant-refill default keeps occupancy ~1 but mixes bounce
+            # depths so incoherent deep lanes veto every skip. Pure
+            # scheduling — per-lane math and RNG streams are unchanged, so
+            # the image is bitwise identical for any wave_frac.
+            wave = jnp.sum(al) <= wave_frac * n_lanes_img
+            need = need & wave
         s_new = s_lane + jnp.where(need, 1.0, 0.0)
         key = key_for(s0 + s_new)
         cox, coy, coz, cdx, cdy, cdz, ctm = camera(s0 + s_new, key)
@@ -1128,28 +1273,32 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
 @functools.partial(
     jax.jit,
     static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
-                     "sizes", "interpret"),
+                     "sizes", "interpret", "sublanes", "wave_frac",
+                     "linear_slots"),
 )
 def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
                            max_depth, has_checker, has_noise=False,
-                           sizes=None, interpret=False):
+                           sizes=None, interpret=False, sublanes=SUBLANES,
+                           wave_frac=1.0, linear_slots=False):
     """Sum of n_samples progressive samples for every pixel, one kernel
     launch. ``camv`` is the _CAMV_LEN f32 control vector (camera frame +
     batch params); ``seedi`` the exact i32 seed (f32 camv can't carry it);
-    n_rays = padded pixel count (multiple of TILE_R).
-    Returns radiance-sum [n_rays, 3]."""
-    assert n_rays % TILE_R == 0
+    n_rays = padded slot count (multiple of sublanes*LANES; see
+    pixel_slots). Returns radiance-sum [n_rays, 3]."""
+    tile_r, _ = tile_block(sublanes)
+    assert n_rays % tile_r == 0
     rows = n_rays // LANES
     sph, qd, boxes, med, mats, texs = tables
     n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
 
-    grid = n_rays // TILE_R
-    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = n_rays // tile_r
+    ray_spec = pl.BlockSpec((sublanes, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kw = dict(
         max_depth=max_depth,
         n_sph=n_sph, n_quad=n_quad, n_med=n_med, n_mat=n_mat, n_tex=n_tex,
         n_box=n_box, has_checker=has_checker, has_noise=has_noise,
+        sublanes=sublanes, wave_frac=wave_frac, linear_slots=linear_slots,
     )
 
     def kern(*refs):

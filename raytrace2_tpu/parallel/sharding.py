@@ -125,11 +125,19 @@ def render_samples_sharded_mega(scene, features, sample0, seed, *, width,
     n = width * height
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
-    chunk = -(-n // dp)  # ceil; kernel masks out-of-grid lanes itself
+
+    from raytrace2_tpu.ops.integrator import _render_batch_megakernel, mega_schedule
+    from raytrace2_tpu.ops.pallas import megakernel as mk
+
+    # Shard the block-tiled SLOT space (whole kernel tiles per device); the
+    # kernel masks out-of-image lanes itself and RNG streams are keyed by
+    # global pixel id, so any dp split renders bitwise-identically.
+    sublanes, _, linear = mega_schedule(features)
+    tile_r, _ = mk.tile_block(sublanes)
+    n_slots, slot_of_pixel = mk.pixel_slots(width, height, sublanes, linear)
+    chunk = -(-n_slots // (dp * tile_r)) * tile_r
     pix0_arr = jnp.arange(dp, dtype=jnp.int32) * chunk
     sp_arr = jnp.arange(sp, dtype=jnp.int32)
-
-    from raytrace2_tpu.ops.integrator import _render_batch_megakernel
 
     @functools.partial(
         jax.shard_map,
@@ -148,7 +156,7 @@ def render_samples_sharded_mega(scene, features, sample0, seed, *, width,
         return jax.lax.psum(r, "sp")[None]
 
     out = go(scene, sp_arr, pix0_arr)[0]
-    return out[:n].reshape(height, width, 3)
+    return out[slot_of_pixel.reshape(-1)].reshape(height, width, 3)
 
 
 @functools.partial(

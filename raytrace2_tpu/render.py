@@ -113,6 +113,24 @@ class Renderer:
             # intersection intermediates cache-resident (measured 1.6x on
             # book2: 44 -> 72 Kpaths/s).
             self.chunk_size = 16384
+        # Sphere BVH for the XLA path on sphere-heavy scenes (book1: 484,
+        # book2 fallback: 1024): the dense sweep is O(rays x spheres), the
+        # traversal O(rays x log) — the production home of the reference's
+        # App-level BVH wrap (src/App.cpp:126, BVH.cpp:50-55). 'bvh' forces
+        # it for any sphere count.
+        n_sph_active = ms[0]
+        use_bvh = self.backend == "bvh" or (
+            not features["use_megakernel"]
+            and self.backend in ("auto", "xla")
+            and n_sph_active >= 256
+        )
+        if use_bvh and n_sph_active:
+            from raytrace2_tpu.scene import bvh as bvh_mod
+
+            tree, md = bvh_mod.build_sphere_bvh(self.scene.spheres)
+            self.scene = dataclasses.replace(self.scene, sphere_bvh=tree)
+            features["use_bvh_spheres"] = True
+            features["bvh_depth"] = md
         self._features = tuple(sorted(features.items()))
         self.scene = schema.to_device(self.scene)
         self.reset()

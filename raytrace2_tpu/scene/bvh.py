@@ -160,6 +160,28 @@ def _build_numpy(aabb_min: np.ndarray, aabb_max: np.ndarray) -> BVHArrays:
     return BVHArrays(out_min, out_max, left, right, prim)
 
 
+def build_sphere_bvh(spheres) -> tuple[BVHArrays, int]:
+    """BVH over a scene's ACTIVE spheres (the loader packs actives as a
+    prefix, so leaf prim ids are sphere row indices). AABBs are
+    motion-inclusive — they cover the center path over the whole shutter,
+    exactly like the reference's moving-sphere constructor unions the t=0
+    and t=1 boxes (src/cpu_raytrace/Sphere.hpp:24-27).
+
+    Returns (tree, max_depth) with max_depth sized for the traversal stack.
+    """
+    c0 = np.asarray(spheres.center0)
+    disp = np.asarray(spheres.displacement)
+    rad = np.asarray(spheres.radius)[:, None]
+    act = np.asarray(spheres.active)
+    n = int(act.sum())
+    if not np.all(act[:n]):
+        raise ValueError("active spheres must form a prefix")
+    lo = np.minimum(c0, c0 + disp)[:n] - rad[:n]
+    hi = np.maximum(c0, c0 + disp)[:n] + rad[:n]
+    tree = build(lo, hi)
+    return tree, depth(tree)
+
+
 def depth(bvh: BVHArrays) -> int:
     """Maximum tree depth (for sizing the traversal stack)."""
     left = np.asarray(bvh.left)

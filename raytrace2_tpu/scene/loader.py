@@ -562,6 +562,35 @@ def _morton3(p: np.ndarray, bits: int = 10) -> np.ndarray:
     return code
 
 
+def _kd_order(p: np.ndarray, align: int = 16) -> np.ndarray:
+    """Balanced kd-tree ordering for [N,3] points: recursively split on the
+    widest axis at a split point rounded to a multiple of ``align``.
+
+    This is the host-side BVH build the megakernel's cluster hierarchy rides
+    on (the reference builds its BVH the same median-split-on-longest-axis
+    way, src/cpu_raytrace/BVH.cpp:10-31): because every split lands on an
+    ``align`` boundary, every aligned block of ``align`` (and of any larger
+    power-of-two multiple) in the final order is a contiguous kd-cell —
+    spatially tight at ALL the granularities the kernel tests (16-record
+    clusters and 128-record superclusters), which Morton chunking only
+    approximates."""
+    order = np.arange(len(p), dtype=np.int64)
+
+    def rec(ids):
+        n = len(ids)
+        if n <= align:
+            return ids
+        ext = p[ids].max(0) - p[ids].min(0)
+        axis = int(np.argmax(ext))
+        ids = ids[np.argsort(p[ids, axis], kind="stable")]
+        k = max(align, min(n - 1, round(n / 2 / align) * align))
+        if k >= n:
+            k = (n - 1) // align * align or align
+        return np.concatenate([rec(ids[:k]), rec(ids[k:])])
+
+    return rec(order)
+
+
 def flatten(desc: SceneDesc, seed: int = 0, pad: bool = True) -> schema.FlatScene:
     """Compile a parsed scene into the padded SoA pytree (host numpy)."""
     fl = _Flattener(desc.primitives)
@@ -572,13 +601,13 @@ def flatten(desc: SceneDesc, seed: int = 0, pad: bool = True) -> schema.FlatScen
     # the megakernel's cluster-skip wants compact clusters).
     if len(fl.spheres) > 2:
         centers = np.array([s[0] for s in fl.spheres], np.float64).reshape(-1, 3)
-        order = np.argsort(_morton3(centers), kind="stable")
+        order = _kd_order(centers)
         fl.spheres = [fl.spheres[i] for i in order]
     if len(fl.aaboxes) > 2:
         centers = np.array(
             [(b[0] + b[1]) * 0.5 for b in fl.aaboxes], np.float64
         ).reshape(-1, 3)
-        order = np.argsort(_morton3(centers), kind="stable")
+        order = _kd_order(centers)
         fl.aaboxes = [fl.aaboxes[i] for i in order]
 
     def round_up(n: int, m: int = 8) -> int:

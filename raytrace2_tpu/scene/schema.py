@@ -207,6 +207,11 @@ class FlatScene:
     textures: Textures
     camera: CameraParams
     background: Any  # [3] (reference: Scene.hpp:23, default {1,1,1})
+    # Optional flattened BVH over the active spheres (scene/bvh.py),
+    # attached by the Renderer for large scenes on the XLA path — the
+    # production form of the reference's App-level BVH wrap
+    # (src/App.cpp:126). None when the dense sweep / megakernel is used.
+    sphere_bvh: Any = None
 
     @property
     def num_records(self) -> int:

@@ -5,7 +5,11 @@ as real pods; see SURVEY.md §4 item 5)."""
 import os
 
 # Hard assign: the container env forces JAX_PLATFORMS=axon (real TPU via a
-# tunnel); tests must run on the virtual CPU mesh regardless.
+# tunnel); tests must run on the virtual CPU mesh regardless. NOTE: pytest's
+# own startup imports jax (via a plugin) BEFORE this conftest runs, so the
+# env var alone is read too late — jax.config captured it at import. Pin the
+# platform through the config API too (allowed any time before first backend
+# use), otherwise the whole suite silently runs on the tunneled TPU chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -13,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu" and len(jax.devices()) == 8, (
+    "tests must run on the 8-device virtual CPU mesh, got "
+    f"{jax.default_backend()} x{len(jax.devices())}"
+)
 
 # Persistent compilation cache: the suite's cost is dominated by jit
 # compiles (9m+ cold); cached recompiles cut reruns to ~2 min. CPU-only

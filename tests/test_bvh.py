@@ -159,3 +159,101 @@ def test_depth_reasonable():
     t = bvh_mod.build(mn, mx, use_native=False)
     d = bvh_mod.depth(t)
     assert 10 <= d <= 64  # median split on 1024 prims ≈ balanced (10) but allow slack
+
+
+# ---------------------------------------------------------------------------
+# Production integration: the BVH sphere path in closest_hit / Renderer
+# ---------------------------------------------------------------------------
+
+
+def test_closest_hit_bvh_matches_dense():
+    """_sphere_best_bvh ≡ the dense sweep through the full closest_hit,
+    including moving spheres (motion-inclusive AABBs)."""
+    import dataclasses
+
+    from raytrace2_tpu import defs
+    from raytrace2_tpu.ops import intersect
+    from raytrace2_tpu.scene import schema
+
+    rs = np.random.RandomState(11)
+    n = 300
+    centers = rs.uniform(-20, 20, (n, 3)).astype(np.float32)
+    disp = np.zeros((n, 3), np.float32)
+    disp[: n // 4] = rs.uniform(-1, 1, (n // 4, 3))  # some moving spheres
+    radii = rs.uniform(0.2, 2.0, n).astype(np.float32)
+    spheres = schema.make_spheres(centers, disp, radii, np.zeros(n), pad_to=n + 12)
+    quads = schema.make_quads(
+        np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0)
+    )
+    mats = schema.Materials(
+        mtype=np.zeros(1, defs.INDEX), albedo=np.ones((1, 3), defs.REAL),
+        param=np.zeros(1, defs.REAL), tex=np.zeros(1, defs.INDEX),
+    )
+    texs = schema.Textures(
+        ttype=np.zeros(1, defs.INDEX), albedo=np.ones((1, 3), defs.REAL),
+        inv_scale=np.ones(1, defs.REAL), scale=np.ones(1, defs.REAL),
+        even=np.zeros(1, defs.INDEX), odd=np.zeros(1, defs.INDEX),
+        noise_type=np.zeros(1, defs.INDEX),
+        perm=np.zeros((1, 3, 256), defs.INDEX), grad=np.zeros((1, 256, 3), defs.REAL),
+    )
+    cam = schema.CameraParams(
+        center=np.zeros(3, defs.REAL), look_at=np.array([0, 0, -1], defs.REAL),
+        vup=np.array([0, 1, 0], defs.REAL), vfov=defs.REAL(90),
+        defocus_angle=defs.REAL(0), focus_dist=defs.REAL(1),
+    )
+    scene = schema.FlatScene(
+        spheres=spheres, quads=quads, boxes=schema.empty_boxes(),
+        media=schema.empty_media(), materials=mats, textures=texs,
+        camera=cam, background=np.zeros(3, defs.REAL),
+    )
+    tree, md = bvh_mod.build_sphere_bvh(scene.spheres)
+    scene_bvh = dataclasses.replace(scene, sphere_bvh=tree)
+    dev_dense = schema.to_device(scene)
+    dev_bvh = schema.to_device(scene_bvh)
+
+    n_rays = 512
+    o = jnp.asarray(rs.uniform(-30, 30, (n_rays, 3)), jnp.float32)
+    d = rs.normal(size=(n_rays, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    time = jnp.asarray(rs.uniform(0, 1, n_rays), jnp.float32)
+
+    feat_d = {"has_media": False}
+    feat_b = {"has_media": False, "use_bvh_spheres": True, "bvh_depth": md}
+    hd = jax.jit(functools.partial(intersect.closest_hit, features=feat_d))(
+        dev_dense, o, d, time
+    )
+    hb = jax.jit(functools.partial(intersect.closest_hit, features=feat_b))(
+        dev_bvh, o, d, time
+    )
+    np.testing.assert_array_equal(np.asarray(hd.valid), np.asarray(hb.valid))
+    hit = np.asarray(hd.valid)
+    # rtol 2e-4: the dense sweep expands oc·oc algebraically into MXU
+    # contractions (c0·c0 + 2t c0·disp + ... − 2 o·c0 + o·o), while the BVH
+    # leaf computes oc = c−o directly — mathematically identical, different
+    # f32 rounding (observed max rel ≈ 7e-5 over 300 spheres).
+    np.testing.assert_allclose(
+        np.asarray(hd.t)[hit], np.asarray(hb.t)[hit], rtol=2e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hd.material)[hit], np.asarray(hb.material)[hit]
+    )
+
+
+def test_renderer_bvh_backend_matches_dense(data_dir):
+    """End-to-end production caller: Renderer(backend='bvh') on book1 (484
+    spheres, the BVH eval-ladder scene) must render the same image as the
+    dense XLA path — same RNG streams, same hits, sublinear sweep."""
+    from raytrace2_tpu import render as render_mod
+    from raytrace2_tpu.scene import loader
+
+    scene, _ = loader.load_scene(f"{data_dir}/final_render_book_1.json")
+    kw = dict(width=24, height=16, num_samples=4, max_depth=6, seed=0,
+              chunk_size=None)
+    r_dense = render_mod.Renderer(scene=scene, backend="xla", **kw)
+    assert not dict(r_dense._features).get("use_bvh_spheres", False) or \
+        dict(r_dense._features)["use_bvh_spheres"]  # auto may enable it
+    r_bvh = render_mod.Renderer(scene=scene, backend="bvh", **kw)
+    assert dict(r_bvh._features)["use_bvh_spheres"]
+    img_d = r_dense.render(batch=4)
+    img_b = r_bvh.render(batch=4)
+    np.testing.assert_allclose(img_b, img_d, rtol=1e-4, atol=1e-5)

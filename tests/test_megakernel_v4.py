@@ -247,3 +247,41 @@ def test_batch_split_invariance(data_dir):
         go(dev, jnp.int32(2), jnp.int32(2))
     )
     np.testing.assert_allclose(whole, split, rtol=1e-5, atol=1e-5)
+
+
+def test_two_level_hierarchy_large_scene(tmp_path):
+    """~520 spheres + ~320 AA boxes: exercises BOTH families' two-level
+    supercluster walk (4+ superclusters each), the direction-ordered visit,
+    and the block-tiled lane mapping, against the dense XLA sweep."""
+    rs = np.random.RandomState(17)
+    prims = []
+    for _ in range(520):
+        prims.append({"type": "sphere",
+                      "center": [float(x) for x in rs.uniform(-10, 10, 3)],
+                      "radius": float(rs.uniform(0.2, 0.5)), "material": 0})
+    for _ in range(320):
+        c = rs.uniform(-10, 10, 3)
+        e = rs.uniform(0.2, 0.8, 3)
+        prims.append({"type": "box",
+                      "min_point": [float(x) for x in c - e],
+                      "max_point": [float(x) for x in c + e], "material": 0})
+    prims.append({"type": "quad", "q": [-3, 13, -3], "u": [6, 0, 0],
+                  "v": [0, 0, 6], "material": 1})
+    scene, feat = _scene(tmp_path, {
+        "background_color": [0.1, 0.12, 0.2],
+        "camera": {"fov": 60, "center": [0, 3, 26], "look_at": [0, 0, 0]},
+        "materials": [
+            {"type": "lambertian", "albedo": [0.6, 0.5, 0.4]},
+            {"type": "diffuse_light", "albedo": [6, 6, 6]},
+        ],
+        "primitives": prims,
+    })
+    assert int(np.asarray(scene.spheres.active).sum()) == 520
+    a = _render_batch(scene, feat, 16, 16, 8, 6, mega=False)
+    b = _render_batch(scene, feat, 16, 16, 8, 6, mega=True)
+    from raytrace2_tpu.io import compare
+
+    da = compare.downsample(a, 4)
+    db = compare.downsample(b, 4)
+    np.testing.assert_allclose(da.mean(), db.mean(), rtol=0.1)
+    np.testing.assert_allclose(da, db, atol=0.25)
