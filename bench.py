@@ -3,16 +3,25 @@ default JAX backend (the real TPU chip under the driver).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+``--grad``: instead benchmark the DIFFERENTIABLE render — forward and
+backward both as Pallas kernels (ops/pallas/megakernel_grad.py custom
+VJP; every path traced twice: forward + reverse replay) — and print one
+JSON line with metric "cornell600_fwdbwd_paths_per_sec". max_depth is 16
+(the gradient kernel's unrolled-replay bound); vs_baseline compares
+against the reference's FORWARD-only measured number scaled 50/16 — the
+reference has no backward at all, so this is the charitable comparison.
+
 Workload: the reference's implied headline config — Cornell box original at
 600x600, max_depth 50, stratified progressive sampling
 (data/cornell_original_10000_samples.json / BASELINE.md). Samples are
 batched inside one jit dispatch (ops/integrator.render_progressive) so the
 measurement is device throughput, not host/tunnel latency.
 
-Baseline note (see BASELINE.md): the reference publishes no numbers. The
-comparison constant is the reference's implied CPU throughput — per-pixel TBB
-fan-out of a recursive tracer on a desktop CPU is ~10 M camera-paths/s on
-Cornell-sized scenes; vs_baseline = measured_paths_per_sec / 10e6.
+Baseline note (see BASELINE.md "Reference MEASURED on this host"): the
+reference publishes no numbers, so it was built headless ON THIS HOST
+(-O3 -march=native, TBB intact, GL/SDL stubbed) and measured on the same
+workload: 1.17 M camera-paths/s on Cornell 600x600 depth 50 (4-core host).
+vs_baseline = measured_paths_per_sec / 1.17e6.
 """
 
 from __future__ import annotations
@@ -21,7 +30,7 @@ import json
 import sys
 import time
 
-_BASELINE_PATHS_PER_SEC = 10e6
+_BASELINE_PATHS_PER_SEC = 1.17e6  # measured, BASELINE.md 2026-08-17
 
 
 def main() -> int:
@@ -43,6 +52,10 @@ def main() -> int:
     scene = schema.to_device(scene_host)
 
     width, height = dims or (600, 600)
+
+    if "--grad" in sys.argv[1:]:
+        return _main_grad(scene, features, width, height)
+
     max_depth = 50
     sqrt_spp = 10  # stratification grid for the implied 10k-sample workload
 
@@ -88,6 +101,60 @@ def main() -> int:
                 "value": round(paths_per_sec, 1),
                 "unit": "paths/s",
                 "vs_baseline": round(paths_per_sec / _BASELINE_PATHS_PER_SEC, 3),
+            }
+        )
+    )
+    return 0
+
+
+def _main_grad(scene, features, width, height) -> int:
+    """fwd+bwd throughput: value_and_grad of a scalar loss through the
+    render, both directions as Pallas kernels (megakernel_grad custom VJP)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytrace2_tpu import grad as grad_mod
+
+    max_depth = 16  # GRAD_MAX_DEPTH: the reverse replay unrolls the chain
+    sqrt_spp = 2
+    n_samples = 4  # per dispatch; samples loop in-kernel across the batch
+
+    def loss(img):
+        return jnp.mean(img)
+
+    @jax.jit
+    def run(scene):
+        return grad_mod.value_and_grad_scene(
+            loss, scene, features, 0, width=width, height=height,
+            n_samples=n_samples, max_depth=max_depth, sqrt_spp=sqrt_spp,
+        )
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            val, g = run(scene)
+            assert 0.0 < float(val) < 100.0
+            _ = float(jnp.sum(g.materials.albedo))  # force the bwd readback
+        return time.perf_counter() - t0
+
+    timed(1)  # warmup/compile (persistently cached)
+    iters = 2
+    dt = timed(iters)
+    if dt < 4.0:
+        iters = min(max(int(iters * 8.0 / dt), 4), 256)
+        dt = timed(iters)
+
+    paths_per_sec = iters * n_samples * width * height / dt
+    # Reference forward-only 1.17 Mpaths/s at depth 50 → ~3.66 M at depth 16
+    # (cost ~ linear in depth); it computes no gradient at all.
+    print(
+        json.dumps(
+            {
+                "metric": "cornell600_fwdbwd_paths_per_sec",
+                "value": round(paths_per_sec, 1),
+                "unit": "paths/s",
+                "vs_baseline": round(
+                    paths_per_sec / (_BASELINE_PATHS_PER_SEC * 50 / 16), 3),
             }
         )
     )

@@ -84,7 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint the accumulator every N samples")
     p.add_argument("--live", action="store_true",
                    help="progressive ANSI preview in the terminal (the "
-                        "headless analog of the reference's render window)")
+                        "headless analog of the reference's render window); "
+                        "implies --watch")
+    p.add_argument("--watch", action="store_true",
+                   help="reload the scene and restart accumulation when the "
+                        "scene file changes mid-render (the headless analog "
+                        "of the reference's load-scene UI, App.cpp:210-229)")
     p.add_argument("--live-cols", type=int, default=100)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the render into DIR")
@@ -181,7 +186,39 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     done0 = renderer.frame_idx
     first_frame = True
+    watch = args.watch or args.live
+    watch_mtime = os.stat(scene_path).st_mtime if watch else None
     while renderer.frame_idx < total:
+        if watch:
+            try:
+                mtime = os.stat(scene_path).st_mtime
+            except OSError:
+                mtime = watch_mtime  # mid-swap; retry next iteration
+            if mtime != watch_mtime:
+                try:
+                    new_scene, _ = loader.load_scene(scene_path, seed=args.seed)
+                    if args.camera:
+                        import dataclasses
+
+                        new_scene = dataclasses.replace(
+                            new_scene, camera=loader.load_camera_file(args.camera)
+                        )
+                except (OSError, loader.SceneError, json.JSONDecodeError) as e:
+                    # Partial write or bad edit: keep rendering the old
+                    # scene; mtime stays armed so the next change retries.
+                    log(f"Scene reload failed (keeping current): {e}")
+                else:
+                    watch_mtime = mtime
+                    renderer = Renderer(
+                        new_scene, width, height,
+                        num_samples=settings["num_samples"],
+                        max_depth=settings["max_depth"],
+                        seed=args.seed,
+                        chunk_size=args.chunk_size or 65536,
+                    )
+                    t0 = time.perf_counter()
+                    done0 = 0
+                    log(f"Scene reloaded: {scene_path} (accumulation reset)")
         renderer.update(min(batch, total - renderer.frame_idx))
         i = renderer.frame_idx
         if args.live:

@@ -42,12 +42,34 @@ def render_image(scene, features, seed, *, width, height, n_samples,
                  max_depth, sqrt_spp, chunk_size=None):
     """Differentiable n-sample render → mean radiance [H,W,3].
 
-    Uses the scan-based bounce loop (reverse-mode differentiable; the
-    while-loop fast path is not) and a Python sample loop (static n_samples)
-    so the whole computation is one reverse-differentiable graph.
+    On the Pallas megakernel path (``use_megakernel`` set and the scene
+    within the gradient-kernel gates), forward AND backward run as Pallas
+    kernels via the custom VJP in ops/pallas/megakernel_grad.py — the
+    "fwd+bwd at speed of light" path. Otherwise falls back to the
+    scan-based XLA bounce loop (reverse-mode differentiable; the while-loop
+    fast path is not) with a Python sample loop (static n_samples) so the
+    whole computation is one reverse-differentiable graph. Both paths use
+    the same detached-selection estimator (module docstring) — they differ
+    only in RNG streams (threefry vs counter-hash), i.e. they are two
+    fixed-primal draws of the same estimator.
     """
     features = dict(features)
-    features.pop("use_pallas", None)  # the Pallas kernel has no VJP; grads use XLA
+    features.pop("use_pallas", None)  # the wavefront Pallas A/B path has no VJP
+    if (
+        features.get("use_megakernel", False)
+        and features.get("mega_sizes") is not None
+    ):
+        from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
+
+        if mkg.grad_supported(
+            tuple(features["mega_sizes"]), max_depth,
+            bool(features.get("has_noise", False)),
+        ):
+            acc = integrator._render_batch_megakernel(
+                scene, dict(features), width, height, jnp.int32(0),
+                n_samples, seed, max_depth, sqrt_spp, differentiable=True,
+            )
+            return acc / n_samples
     acc = jnp.zeros((height, width, 3), jnp.float32)
     for s in range(n_samples):
         acc = acc + integrator.render_sample(

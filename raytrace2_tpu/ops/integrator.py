@@ -33,18 +33,44 @@ from raytrace2_tpu.ops import intersect, materials, rng
 # batch position (SURVEY.md §7 RNG reproducibility).
 
 
-def _make_step(scene, features, background):
+def _make_step(scene, features, background, mega_seed=None):
     """Build the per-bounce transition for a (possibly compacted) ray set.
 
     The step closes over nothing ray-indexed: keys/time ride inside the
     state so compaction can gather them along with the rays.
+
+    ``features["rng_impl"]=="murmur"`` (requires ``mega_seed``): draw from
+    the v4 megakernel's exact counter-hash streams — ``st["keys"]`` then
+    holds i32 PIXEL IDS instead of threefry keys. With identical streams
+    the two backends compute the same paths, so cross-backend goldens
+    measure f32 arithmetic divergence, not MC noise.
     """
     num_media = scene.media.btype.shape[0]
     has_media = features.get("has_media", True)
+    use_murmur = features.get("rng_impl") == "murmur" and mega_seed is not None
+    # The kernel's per-bounce counter stride: 3 scatter draws + one per
+    # ACTIVE medium (megakernel.py draws_pb).
+    n_med_active = (features.get("mega_sizes") or (0,) * 6)[4]
 
     def step(st):
-        n_draws = 3 + (num_media if has_media else 0)
-        u = rng.bounce_uniforms(st["keys"], st["bounce"], n_draws)
+        if use_murmur:
+            draws_pb = 3 + (n_med_active if has_media else 0)
+            pixel_ids = st["keys"]
+            bctr = st["bounce"] * draws_pb
+            ctrs = [bctr, bctr + 1, bctr + 2] + (
+                [bctr + 3 + m for m in range(n_med_active)] if has_media else []
+            )
+            u = rng.murmur_uniforms_at(mega_seed, pixel_ids, ctrs)
+            if has_media and num_media > n_med_active:
+                # Padded (inactive) media rows still consume a lane in the
+                # dense sweep; give them a dead draw.
+                u = jnp.concatenate(
+                    [u, jnp.full((u.shape[0], num_media - n_med_active), 0.5)],
+                    axis=-1,
+                )
+        else:
+            n_draws = 3 + (num_media if has_media else 0)
+            u = rng.bounce_uniforms(st["keys"], st["bounce"], n_draws)
         u_media = u[:, 3:] if has_media else None
         hit = intersect.closest_hit(
             scene, st["o"], st["d"], st["time"], u_media, features=features
@@ -145,7 +171,7 @@ def trace_rays(scene, features, o, d, time, keys, max_depth: int,
 
     n = o.shape[0]
     background = scene.background
-    step = _make_step(scene, features, background)
+    step = _make_step(scene, features, background, mega_seed=mega_seed)
 
     state = dict(
         o=o,
@@ -236,6 +262,18 @@ def render_sample(scene, features, width: int, height: int, sample_idx, seed,
         # The kernel is internally tiled and holds no [rays, prims]
         # intermediates — chunking would only duplicate PRNG streams.
         chunk_size = None
+    elif features.get("rng_impl") == "murmur":
+        # XLA bounce loop on the megakernel's exact RNG streams (matched-RNG
+        # cross-backend goldens; see _make_step). Keys carry pixel ids.
+        cam_u = rng.murmur_uniforms(
+            mega_seed, pixel_ids,
+            tuple(rng.CAMERA_CTR_BASE + k for k in range(5)),
+        )
+        keys = pixel_ids
+        o, d, time = camera_ops.generate_rays(
+            scene.camera, width, height, sample_idx, sqrt_spp, None,
+            uniforms=cam_u,
+        )
     else:
         keys = jax.vmap(lambda p: rng.pixel_sample_key(seed, p, sample_idx))(pixel_ids)
         o, d, time = camera_ops.generate_rays(
@@ -286,24 +324,36 @@ def mega_schedule(features):
     ms = features.get("mega_sizes") or (0,) * 6
     n_records = ms[0] + ms[1] + ms[4] + ms[5]
     big = n_records > 512
+    # Cluster-heavy scenes route to the SORTED WAVEFRONT kernel
+    # (ops/pallas/wavefront_sorted.py): between-bounce coherence sorting is
+    # what makes the cluster skips fire; it requires the linear slot layout.
+    wavefront = bool(features.get("mega_wavefront", big))
+    if wavefront:
+        from raytrace2_tpu.ops.pallas import wavefront_sorted as wf
+
+        return int(features.get("mega_sublanes", wf.SORT_SUBLANES)), 1.0, True, True
     sublanes = int(features.get(
         "mega_sublanes", mk.SUBLANES_LARGE if big else mk.SUBLANES))
     wave_frac = float(features.get("mega_wave_frac", 0.5 if big else 1.0))
     linear = bool(features.get("mega_linear", not big))
-    return sublanes, wave_frac, linear
+    return sublanes, wave_frac, linear, False
 
 
 def _render_batch_megakernel(scene, features, width, height, sample0,
                              n_samples, seed, max_depth, sqrt_spp,
-                             pix0=0, n_local=None):
+                             pix0=0, n_local=None, differentiable=False):
     """Batched v4 path-regeneration render: every lane owns a pixel and
     regenerates dead rays with its next sample in-kernel — one kernel launch
     per batch (see ops/pallas/megakernel.py v4). Returns the radiance SUM
-    over the batch's samples, [H,W,3]."""
+    over the batch's samples, [H,W,3].
+
+    ``differentiable=True`` routes through the custom-VJP wrapper
+    (ops/pallas/megakernel_grad.py): identical forward, backward runs the
+    replay-vjp kernel. Requires STATIC ``n_samples``."""
     from raytrace2_tpu.ops.pallas import megakernel as mk
 
     n_total = width * height
-    sublanes, wave_frac, linear = mega_schedule(features)
+    sublanes, wave_frac, linear, wavefront = mega_schedule(features)
     tile_r, block = mk.tile_block(sublanes)
     n_slots, slot_of_pixel = mk.pixel_slots(width, height, sublanes, linear)
     n = n_local if n_local is not None else n_slots  # lanes this shard runs
@@ -324,8 +374,7 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
     ])
     sizes = tuple(features["mega_sizes"])
     tables = mk.pack_tables(scene, sizes)
-    radiance = mk.trace_megakernel_batch(
-        camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
+    kernel_kw = dict(
         n_rays=n_pad, max_depth=max_depth,
         has_checker=bool(features.get("has_checker", True)),
         has_noise=bool(features.get("has_noise", False)),
@@ -333,6 +382,28 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         interpret=bool(features.get("mega_interpret", False)),
         sublanes=sublanes, wave_frac=wave_frac, linear_slots=linear,
     )
+    if differentiable:
+        from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
+
+        radiance = mkg.trace_megakernel_batch_diff(
+            camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
+            n_samples=int(n_samples), **kernel_kw,
+        )
+    elif wavefront:
+        from raytrace2_tpu.ops.pallas import wavefront_sorted as wf
+
+        kernel_kw.pop("wave_frac")
+        kernel_kw.pop("linear_slots")
+        radiance = wf.trace_wavefront_batch(
+            camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
+            sort_every=int(features.get("mega_sort_every", 1)),
+            k_bounces=int(features.get("mega_k_bounces", 16)), **kernel_kw,
+        )
+    else:
+        radiance = mk.trace_megakernel_batch(
+            camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
+            **kernel_kw,
+        )
     if n_local is not None:
         return radiance[:n]          # sharded caller keeps the flat slot tile
     if linear:

@@ -318,15 +318,37 @@ def _hier_sweep(tbl, body_fn, rec, alive, ox, oy, oz, invx, invy, invz,
     return jax.lax.fori_loop(0, n_l2, super_body, rec)
 
 
+def _kf(k):
+    """Loop index as f32 — works for traced i32 (fori_loop) and Python int
+    (unrolled differentiable replay)."""
+    return k.astype(jnp.float32) if hasattr(k, "astype") else jnp.float32(k)
+
+
 def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                  n_quad, n_med, n_mat, n_tex, n_box, has_checker, has_noise,
-                 shape):
+                 shape, unroll_py=False):
     """Build the per-bounce transition shared by the v3 (state-passing)
     and v4 (path-regeneration) kernels. ``key`` is the per-lane RNG key
-    for the CURRENT (pixel, sample); ``tm`` the per-lane shutter time."""
+    for the CURRENT (pixel, sample); ``tm`` the per-lane shutter time.
+
+    ``unroll_py``: replace every lax loop with a Python loop and skip the
+    cluster hierarchy — the reverse-differentiable replay used by the
+    gradient kernel (megakernel_grad.py). lax.fori_loop/while_loop have no
+    transpose rule; a Python unroll of the same bodies is the identical
+    computation in trace order, so jax.vjp applies. Tables may then be
+    dicts of Python lists of traced scalars (vjp inputs) instead of SMEM
+    refs — the bodies only ever index them with the loop counter."""
     t_min = jnp.float32(float(defs.T_MIN))
     quad_eps = jnp.float32(float(defs.QUAD_EPS))
     max_depth_f = jnp.float32(max_depth)
+
+    def loop(n, body, init, unroll=1):
+        if unroll_py:
+            acc = init
+            for i in range(n):
+                acc = body(i, acc)
+            return acc
+        return jax.lax.fori_loop(0, n, body, init, unroll=unroll)
 
     def bounce(key, tm, carry):
         def draw(ctr):
@@ -357,7 +379,9 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
             disc = h * h - a * cc
             has = disc >= 0.0
-            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            # Double-where: sqrt'(0)=inf would turn masked-out lanes'
+            # zero cotangents into NaN under the replay vjp.
+            sq = jnp.where(has, jnp.sqrt(jnp.where(has, disc, 1.0)), 0.0)
             root0 = (h - sq) * inv_a
             root1 = (h + sq) * inv_a
             ok0 = (root0 > t_min) & (root0 < best_t)
@@ -381,8 +405,8 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
         )
         # Dominant live-ray direction of this tile → which of the 6
         # precomputed front-to-back supercluster orders to walk.
-        hier_sph = n_sph >= 2 * SPH_CLUSTER
-        hier_box = n_box >= 2 * BOX_CLUSTER
+        hier_sph = n_sph >= 2 * SPH_CLUSTER and not unroll_py
+        hier_box = n_box >= 2 * BOX_CLUSTER and not unroll_py
         if hier_sph or hier_box:
             sxa = jnp.sum(jnp.where(alive, dx, 0.0))
             sya = jnp.sum(jnp.where(alive, dy, 0.0))
@@ -399,7 +423,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             dir_idx = jnp.int32(0)
 
         if n_sph and not hier_sph:
-            rec = jax.lax.fori_loop(0, n_sph, sph_body, rec, unroll=n_sph)
+            rec = loop(n_sph, sph_body, rec, unroll=n_sph)
         elif n_sph:
             rec = _hier_sweep(
                 sph, sph_body, rec, alive, ox, oy, oz,
@@ -437,8 +461,8 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                 aux,
             )
 
-        rec = jax.lax.fori_loop(0, n_quad, quad_body, rec,
-                                unroll=n_quad if n_quad <= 64 else 1) if n_quad else rec
+        rec = loop(n_quad, quad_body, rec,
+                   unroll=n_quad if n_quad <= 64 else 1) if n_quad else rec
 
         # Axis-aligned boxes: slab test, ~5x cheaper than the 6-quad
         # expansion (which still exists for the XLA path). Entry hit at t0
@@ -527,7 +551,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
             disc = h * h - cc
             s_valid = disc > 0.0
-            sq = jnp.sqrt(jnp.where(s_valid, disc, 0.0))
+            sq = jnp.where(s_valid, jnp.sqrt(jnp.where(s_valid, disc, 1.0)), 0.0)
             s_t0 = h - sq
             s_t1 = h + sq
 
@@ -573,7 +597,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                 aux,
             )
 
-        rec = jax.lax.fori_loop(0, n_med, med_body, rec) if n_med else rec
+        rec = loop(n_med, med_body, rec) if n_med else rec
         best_t, fam, matf, p0, p1, p2, aux = rec
         valid = fam >= 0.0
         is_sph = fam == 0.0
@@ -596,7 +620,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
         # ---- material resolve: scalar sweep over the material table ------
         def mat_body(k, acc):
             mtype, alr, alg, alb, mparam, mtex = acc
-            sel = matf == k.astype(jnp.float32)
+            sel = matf == _kf(k)
             return (
                 jnp.where(sel, mats["mtype"][k], mtype),
                 jnp.where(sel, mats["alr"][k], alr),
@@ -606,8 +630,8 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                 jnp.where(sel, mats["tex"][k], mtex),
             )
 
-        mtype, alr, alg, alb, mparam, mtex = jax.lax.fori_loop(
-            0, n_mat, mat_body,
+        mtype, alr, alg, alb, mparam, mtex = loop(
+            n_mat, mat_body,
             (jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
              jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)),
         )
@@ -616,7 +640,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
         def tex_sweep(idx_f):
             def tex_body(k, acc):
                 ttype, talr, talg, talb, tinv, tev, tod, tsc, tnt = acc
-                sel = idx_f == k.astype(jnp.float32)
+                sel = idx_f == _kf(k)
                 return (
                     jnp.where(sel, texs["ttype"][k], ttype),
                     jnp.where(sel, texs["alr"][k], talr),
@@ -629,8 +653,8 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                     jnp.where(sel, texs["ntype"][k], tnt),
                 )
 
-            return jax.lax.fori_loop(
-                0, n_tex, tex_body,
+            return loop(
+                n_tex, tex_body,
                 tuple(jnp.zeros(shape) for _ in range(9)),
             )
 
@@ -649,19 +673,41 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             # Texture.cpp:13-22 with hash-derived gradients (see
             # _hash_gradient); pattern keyed by texture index only, so it is
             # fixed across samples/bounces like a real static texture.
+            # Miss lanes carry best_t=BIG, so px ~ 1e38 overflows to inf in
+            # the turbulence octave doubling; the inf/NaN forward values are
+            # masked out of the image but poison reverse-mode (vjp products
+            # multiply by primal values), so evaluate noise at a clamped
+            # point on those lanes.
+            npx = jnp.where(valid, px, 0.0)
+            npy = jnp.where(valid, py, 0.0)
+            npz = jnp.where(valid, pz, 0.0)
             nseed = _mix(leaf.astype(jnp.int32).astype(jnp.uint32)
                          ^ jnp.uint32(0x5EEDBA5E))
-            marble = 0.5 * (1.0 + jnp.sin(
-                t_scale * pz + 10.0 * _turbulence(px, py, pz, nseed)
-            ))
-            perl = 0.5 * (1.0 + _perlin_noise(
-                t_scale * px, t_scale * py, t_scale * pz, nseed
-            ))
-            nfac = jnp.where(
-                t_ntype == float(defs.NOISE_MARBLE), marble, perl
-            )
             is_noise = ttype == float(defs.TEX_NOISE)
-            sel_n = is_noise
+            sel_n = is_noise & valid
+
+            def _noise_factor():
+                marble = 0.5 * (1.0 + jnp.sin(
+                    t_scale * npz + 10.0 * _turbulence(npx, npy, npz, nseed)
+                ))
+                perl = 0.5 * (1.0 + _perlin_noise(
+                    t_scale * npx, t_scale * npy, t_scale * npz, nseed
+                ))
+                return jnp.where(
+                    t_ntype == float(defs.NOISE_MARBLE), marble, perl
+                )
+
+            if unroll_py:
+                # The replay must stay cond-free (lax.cond has no transpose).
+                nfac = _noise_factor()
+            else:
+                # The ~2000-op turbulence/perlin evaluation runs only when
+                # some lane actually shades a noise texture this bounce — a
+                # per-tile scalar branch, like the cluster skips. sel_n is
+                # unchanged by it, so the image is bitwise identical.
+                nfac = jax.lax.cond(
+                    jnp.any(sel_n), _noise_factor, lambda: jnp.ones(shape)
+                )
             t_alr = jnp.where(sel_n, t_alr * nfac, t_alr)
             t_alg = jnp.where(sel_n, t_alg * nfac, t_alg)
             t_alb = jnp.where(sel_n, t_alb * nfac, t_alb)
@@ -673,7 +719,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
         u3 = draw(bctr + 2)
         z = 1.0 - 2.0 * u1
         phi = jnp.float32(2.0 * 3.14159265358979) * u2
-        rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
         uvx = rxy * jnp.cos(phi)
         uvy = rxy * jnp.sin(phi)
         uvz = z
@@ -707,7 +753,9 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
         dlen = jnp.sqrt(jnp.maximum(a, 1e-24))
         udx, udy, udz = dx / dlen, dy / dlen, dz / dlen
         cos_t = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        # 1e-12 floor: cos_t is clamped to exactly 1.0, where sqrt'(0)=inf
+        # would NaN the backward (0 cotangent x inf).
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
         cannot = ri * sin_t > 1.0
         r0s = (1.0 - ri) / (1.0 + ri)
         r0s = r0s * r0s
@@ -721,7 +769,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
         rpy = ri * (udy + cos_t * ny_)
         rpz = ri * (udz + cos_t * nz_)
         k = 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)
-        spar = -jnp.sqrt(jnp.abs(k))
+        spar = -jnp.sqrt(jnp.maximum(jnp.abs(k), 1e-20))
         rrx = rpx + spar * nx_
         rry = rpy + spar * ny_
         rrz = rpz + spar * nz_
@@ -784,7 +832,9 @@ def _hash_gradient(ix, iy, iz, seed_u):
     u2 = _uniform_from_bits(h2)
     z = 1.0 - 2.0 * u1
     phi = jnp.float32(2.0 * 3.14159265358979) * u2
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    # 1e-12 floor: z=+-1 (hash bits all-zero high word) would make
+    # sqrt'(0)=inf NaN the replay backward.
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
     return r * jnp.cos(phi), r * jnp.sin(phi), z
 
 
@@ -1092,6 +1142,70 @@ SUBLANES_LARGE = 8  # fine tiles (32x32-pixel blocks) for cluster-heavy scenes
 _CAMV_LEN = 28
 
 
+def cam_draw(key, k):
+    """Camera-draw counter stream (disjoint from bounce draws via the
+    0x40000000 offset)."""
+    c = jnp.uint32(0x40000000 + k)
+    bits = _mix(key ^ _mix(c * jnp.uint32(0x9E3779B9) + jnp.uint32(1)))
+    return _uniform_from_bits(bits)
+
+
+def camera_ray(cv, xx, yy, sqrt_spp, s_global_f, key):
+    """In-kernel Camera::GetRay (Camera.hpp:50-67). ``cv`` is anything
+    indexable by camv entry id — the SMEM ref (fast kernels) or a list of
+    traced scalars (the differentiable replay in megakernel_grad.py, where
+    the camera-frame entries are vjp inputs). Returns (o, d, time)."""
+    u0 = cam_draw(key, 0)
+    u1 = cam_draw(key, 1)
+    u2 = cam_draw(key, 2)
+    u3 = cam_draw(key, 3)
+    u4 = cam_draw(key, 4)
+    k1 = jnp.floor(s_global_f / sqrt_spp)
+    s_i = s_global_f - k1 * sqrt_spp
+    s_j = k1 - jnp.floor(k1 / sqrt_spp) * sqrt_spp
+    recip = 1.0 / sqrt_spp
+    pxj = (s_i + u0) * recip - 0.5
+    pyj = (s_j + u1) * recip - 0.5
+    pcx = cv[0] + (xx + pxj) * cv[3] + (yy + pyj) * cv[6]
+    pcy = cv[1] + (xx + pxj) * cv[4] + (yy + pyj) * cv[7]
+    pcz = cv[2] + (xx + pxj) * cv[5] + (yy + pyj) * cv[8]
+    # Defocus disk (polar map).
+    r = jnp.sqrt(u2)
+    th = jnp.float32(2.0 * 3.14159265358979) * u3
+    dkx = r * jnp.cos(th)
+    dky = r * jnp.sin(th)
+    use_disk = cv[18] > 0.0
+    ox_ = jnp.where(use_disk, cv[9] + dkx * cv[12] + dky * cv[15], cv[9])
+    oy_ = jnp.where(use_disk, cv[10] + dkx * cv[13] + dky * cv[16], cv[10])
+    oz_ = jnp.where(use_disk, cv[11] + dkx * cv[14] + dky * cv[17], cv[11])
+    ddx = pcx - ox_
+    ddy = pcy - oy_
+    ddz = pcz - oz_
+    inv_len = jax.lax.rsqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-24))
+    return (ox_, oy_, oz_, ddx * inv_len, ddy * inv_len, ddz * inv_len, u4)
+
+
+def slot_to_pixel(slot_f, camv, *, tile_r, block, linear_slots):
+    """Slot → (xx, yy, in_grid) under either lane layout (see the layout
+    comment above; all values < 2^24 so f32 arithmetic is exact)."""
+    width = camv[19]
+    if linear_slots:
+        yy = jnp.floor(slot_f / width)
+        xx = slot_f - yy * width
+        return xx, yy, slot_f < camv[20]
+    nbx = camv[26]
+    height = camv[27]
+    tile_f = jnp.floor(slot_f * jnp.float32(1.0 / tile_r))
+    within = slot_f - tile_f * tile_r
+    by = jnp.floor(tile_f / nbx)
+    bx = tile_f - by * nbx
+    ly = jnp.floor(within * jnp.float32(1.0 / block))
+    lx = within - ly * block
+    xx = bx * block + lx
+    yy = by * block + ly
+    return xx, yy, (xx < width) & (yy < height)
+
+
 def tile_block(sublanes: int):
     """(tile_r, block) for a given sublane count; tiles are square pixel
     blocks (8x128 lanes -> 32x32 pixels, 32x128 -> 64x64)."""
@@ -1138,31 +1252,16 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     ) + camv[25].astype(jnp.int32)
     slot_f = slot_i.astype(jnp.float32)
-    width = camv[19]
-    height = camv[27]
-    nbx = camv[26]
     s0 = camv[21]
     n_samples = camv[22]
     sqrt_spp = camv[23]
     seed_i = seedi[0]
-    # Slot → pixel (see layout comment above; all values < 2^24 so f32
-    # arithmetic is exact). Either mapping yields identical images — RNG is
-    # keyed by pixel id — linear just avoids edge-block padding lanes.
-    if linear_slots:
-        yy = jnp.floor(slot_f / width)
-        xx = slot_f - yy * width
-        in_grid = slot_f < camv[20]
-    else:
-        tile_f = jnp.floor(slot_f * jnp.float32(1.0 / tile_r))
-        within = slot_f - tile_f * tile_r
-        by = jnp.floor(tile_f / nbx)
-        bx = tile_f - by * nbx
-        ly = jnp.floor(within * jnp.float32(1.0 / block))
-        lx = within - ly * block
-        xx = bx * block + lx
-        yy = by * block + ly
-        in_grid = (xx < width) & (yy < height)
-    pid_u = (yy * width + xx).astype(jnp.int32).astype(jnp.uint32)
+    # Slot → pixel: either mapping yields identical images — RNG is keyed by
+    # pixel id — linear just avoids edge-block padding lanes.
+    xx, yy, in_grid = slot_to_pixel(
+        slot_f, camv, tile_r=tile_r, block=block, linear_slots=linear_slots
+    )
+    pid_u = (yy * camv[19] + xx).astype(jnp.int32).astype(jnp.uint32)
 
     def key_for(s_global_f):
         """Per-lane key = mix(pixel·G ^ mix(seed·1000003 + s)) — the same
@@ -1171,41 +1270,8 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         image doesn't depend on the block-tiled lane layout."""
         return v4_sample_key(seed_i, pid_u, s_global_f)
 
-    def cam_draw(key, k):
-        c = jnp.uint32(0x40000000 + k)
-        bits = _mix(key ^ _mix(c * jnp.uint32(0x9E3779B9) + jnp.uint32(1)))
-        return _uniform_from_bits(bits)
-
     def camera(s_global_f, key):
-        """In-kernel Camera::GetRay (Camera.hpp:50-67)."""
-        u0 = cam_draw(key, 0)
-        u1 = cam_draw(key, 1)
-        u2 = cam_draw(key, 2)
-        u3 = cam_draw(key, 3)
-        u4 = cam_draw(key, 4)
-        k1 = jnp.floor(s_global_f / sqrt_spp)
-        s_i = s_global_f - k1 * sqrt_spp
-        s_j = k1 - jnp.floor(k1 / sqrt_spp) * sqrt_spp
-        recip = 1.0 / sqrt_spp
-        pxj = (s_i + u0) * recip - 0.5
-        pyj = (s_j + u1) * recip - 0.5
-        pcx = camv[0] + (xx + pxj) * camv[3] + (yy + pyj) * camv[6]
-        pcy = camv[1] + (xx + pxj) * camv[4] + (yy + pyj) * camv[7]
-        pcz = camv[2] + (xx + pxj) * camv[5] + (yy + pyj) * camv[8]
-        # Defocus disk (polar map).
-        r = jnp.sqrt(u2)
-        th = jnp.float32(2.0 * 3.14159265358979) * u3
-        dkx = r * jnp.cos(th)
-        dky = r * jnp.sin(th)
-        use_disk = camv[18] > 0.0
-        ox_ = jnp.where(use_disk, camv[9] + dkx * camv[12] + dky * camv[15], camv[9])
-        oy_ = jnp.where(use_disk, camv[10] + dkx * camv[13] + dky * camv[16], camv[10])
-        oz_ = jnp.where(use_disk, camv[11] + dkx * camv[14] + dky * camv[17], camv[11])
-        ddx = pcx - ox_
-        ddy = pcy - oy_
-        ddz = pcz - oz_
-        inv_len = jax.lax.rsqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-24))
-        return (ox_, oy_, oz_, ddx * inv_len, ddy * inv_len, ddz * inv_len, u4)
+        return camera_ray(camv, xx, yy, sqrt_spp, s_global_f, key)
 
     bounce = _make_bounce(
         sph, qd, boxes, med, mats, texs, bg_r,

@@ -1,0 +1,360 @@
+"""Sorted-wavefront renderer: bounce-synchronous megakernel for BIG scenes.
+
+The v4 megakernel (megakernel.py) keeps a whole path's bounce loop inside
+one kernel launch, which is optimal when the closest-hit sweep is cheap
+(Cornell-class scenes: every record swept anyway). On cluster-heavy scenes
+(book2: 1,405 sweep records) the sweep dominates and the only lever is the
+per-tile cluster skip (_hier_sweep) — but a v4 tile mixes bounce depths and
+isotropically-scattered directions, so almost no tile can prove a cluster
+unreachable and nothing skips (measured: book2 2.7 Mpaths/s vs a
+22 Mpaths/s everything-but-the-sweep ceiling).
+
+This module decouples occupancy from coherence the TPU-shaped way:
+
+* State lives in HBM between launches: one slot per (pixel) with its own
+  progressive sample counter, exactly v4's regeneration semantics.
+* Between launches, XLA sorts the slots by a coherence key — 7-bit-per-axis
+  Morton code of the origin within the scene bounds (direction octant as
+  tiebreak); dead slots awaiting regeneration group by pixel id (fresh
+  camera waves), exhausted slots sort to the end where whole tiles
+  early-exit. The permutation is applied as ONE row-gather of the packed
+  [n, 17] state (a multi-array gather in a while_loop lowers to a slow
+  serialized form).
+* A Pallas K-BOUNCE kernel (regen + closest-hit + shade + scatter =
+  megakernel._make_bounce, unchanged) then runs over the sorted tiles.
+  Now each [8,128] tile holds rays that share an origin cell, so
+  _hier_sweep's per-tile supercluster/cluster skips actually fire — the
+  wavefront form of a BVH walk (BVH.cpp:50-55), with the sort playing the
+  role of the per-ray traversal stack. K≈16 bounces per launch amortizes
+  the launch + state round-trip + SMEM table copy against coherence decay
+  (measured optimum on book2; see BASELINE.md).
+
+Per-lane arithmetic (camera, RNG streams, bounce physics, radiance
+accumulation) is IDENTICAL to v4 — each (pixel, sample) path computes the
+same f32 sequence regardless of which tile the sort put it in, and each
+pixel's slot accumulates its samples in the same order — so the rendered
+image is bitwise equal to the v4 megakernel's (asserted in
+tests/test_wavefront.py).
+
+Reference: the scene/feature scope is megakernel.py's; routing between the
+two kernels is integrator.mega_schedule's job (record-count threshold).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytrace2_tpu.ops.pallas import megakernel as mk
+
+# State arrays, all [n_rays] f32 (pid stays < 2^24 so f32 is exact).
+_STATE_KEYS = ("s_lane", "pid", "bn", "al", "ox", "oy", "oz",
+               "dx", "dy", "dz", "tm", "tpr", "tpg", "tpb",
+               "rr", "rg", "rb")
+SORT_SUBLANES = 8  # [8,128] tiles: the sort provides coherence, not blocks
+
+
+class _View:
+    """Static-offset window into the packed SMEM table (scalar reads only).
+
+    One pallas_call per bounce means every SMEM operand is re-copied
+    HBM->SMEM on every loop iteration; with ~90 separate small field arrays
+    those copies dominated the profile (330 ms of copy-start latency per
+    8-spp render at 320x320). Packing every field into ONE f32 array makes
+    it one copy per launch; fields become fixed offsets."""
+
+    __slots__ = ("ref", "off")
+
+    def __init__(self, ref, off):
+        self.ref = ref
+        self.off = off
+
+    def __getitem__(self, i):
+        return self.ref[self.off + i]
+
+
+def _bounce_step_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad,
+                        n_med, n_mat, n_tex, n_box, has_checker, has_noise,
+                        sublanes, k_bounces=1):
+    (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs) = refs_in[:9]
+    state_in = refs_in[9:]
+    shape = (sublanes, mk.LANES)
+    width = camv[19]
+    s0 = camv[21]
+    n_samples = camv[22]
+    sqrt_spp = camv[23]
+    seed_i = seedi[0]
+
+    bounce = mk._make_bounce(
+        sph, qd, boxes, med, mats, texs, bg_r,
+        max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
+        n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
+        has_noise=has_noise, shape=shape,
+    )
+
+    def step(st):
+        """regen + one bounce over the 17-tuple state (v4 semantics)."""
+        (s_lane, pid, bn, al, ox, oy, oz, dx, dy, dz, tm,
+         tpr, tpg, tpb, rr, rg, rb) = st
+        in_grid = pid >= 0.0
+        need = (al <= 0.0) & (s_lane < n_samples - 1.0) & in_grid
+        s_new = s_lane + jnp.where(need, 1.0, 0.0)
+        pid_u = pid.astype(jnp.int32).astype(jnp.uint32)
+        key = mk.v4_sample_key(seed_i, pid_u, s0 + s_new)
+        alive_next = jnp.where(need, 1.0, al)
+        yy = jnp.floor(pid / width)
+        xx = pid - yy * width
+        cox, coy, coz, cdx, cdy, cdz, ctm = mk.camera_ray(
+            camv, xx, yy, sqrt_spp, s0 + s_new, key)
+        ox_ = jnp.where(need, cox, ox)
+        oy_ = jnp.where(need, coy, oy)
+        oz_ = jnp.where(need, coz, oz)
+        dx_ = jnp.where(need, cdx, dx)
+        dy_ = jnp.where(need, cdy, dy)
+        dz_ = jnp.where(need, cdz, dz)
+        tm_ = jnp.where(need, ctm, tm)
+        bn_ = jnp.where(need, 0.0, bn)
+        tpr_ = jnp.where(need, 1.0, tpr)
+        tpg_ = jnp.where(need, 1.0, tpg)
+        tpb_ = jnp.where(need, 1.0, tpb)
+        (bn2, al2, ox2, oy2, oz2, dx2, dy2, dz2,
+         tpr2, tpg2, tpb2, rr2, rg2, rb2) = bounce(
+            key, tm_, (bn_, alive_next, ox_, oy_, oz_, dx_, dy_, dz_,
+                       tpr_, tpg_, tpb_, rr, rg, rb))
+        return (s_new, pid, bn2, al2, ox2, oy2, oz2, dx2, dy2, dz2, tm_,
+                tpr2, tpg2, tpb2, rr2, rg2, rb2)
+
+    state0 = tuple(r[...] for r in state_in)
+
+    def runnable(st):
+        # alive, or dead with samples left (regen next step)
+        return jnp.any((st[3] > 0.0) | ((st[0] < n_samples - 1.0)
+                                        & (st[1] >= 0.0)))
+
+    if k_bounces == 1:
+        # Exhausted tiles (sorted to the end) pass through untouched:
+        # the whole bounce (sweeps included) is skipped.
+        @pl.when(runnable(state0))
+        def _():
+            for ref, val in zip(refs_out, step(state0)):
+                ref[...] = val
+
+        @pl.when(jnp.logical_not(runnable(state0)))
+        def _():
+            for ref, val in zip(refs_out, state0):
+                ref[...] = val
+    else:
+        # K bounces per launch: amortizes launch + state HBM round-trip
+        # over K bounces; the tile early-exits once nothing is runnable.
+        def body(carry):
+            i, st = carry
+            return i + 1, step(st)
+
+        def cond(carry):
+            i, st = carry
+            return (i < k_bounces) & runnable(st)
+
+        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+        for ref, val in zip(refs_out, st):
+            ref[...] = val
+
+
+def _interleave3(x):
+    """Spread the low 10 bits of a uint32 so consecutive bits land 3 apart
+    (standard 3-D Morton part1by2)."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << jnp.uint32(16))) & jnp.uint32(0x030000FF)
+    x = (x | (x << jnp.uint32(8))) & jnp.uint32(0x0300F00F)
+    x = (x | (x << jnp.uint32(4))) & jnp.uint32(0x030C30C3)
+    x = (x | (x << jnp.uint32(2))) & jnp.uint32(0x09249249)
+    return x
+
+
+def sort_keys(state, n_samples, bb_lo, bb_hi):
+    """Coherence key per slot (small = do first, similar = same tile):
+
+    * alive rays: morton7(origin in scene bbox) << 3 | octant(d) — tiles
+      end up sharing origin cell (direction octant as tiebreak), which is
+      what makes the kernel's per-tile cluster AABB skips effective.
+    * dead, samples remaining: 2^25 + pid — regeneration groups by pixel
+      adjacency, so fresh camera waves are frustum-coherent.
+    * exhausted/padding: 2^30 — tail tiles hit the kernel's all-dead early
+      exit and cost only the state round-trip.
+    """
+    alive = state["al"] > 0.0
+    can_regen = (state["s_lane"] < n_samples - 1.0) & (state["pid"] >= 0.0)
+    inv = 127.0 / jnp.maximum(bb_hi - bb_lo, 1e-20)
+    qs = []
+    for axis, (o_key) in enumerate(("ox", "oy", "oz")):
+        q = jnp.clip((state[o_key] - bb_lo[axis]) * inv[axis], 0.0, 127.0)
+        qs.append(_interleave3(q.astype(jnp.uint32)))
+    morton = qs[0] | (qs[1] << jnp.uint32(1)) | (qs[2] << jnp.uint32(2))
+    octant = ((state["dx"] < 0).astype(jnp.uint32) * jnp.uint32(4)
+              | (state["dy"] < 0).astype(jnp.uint32) * jnp.uint32(2)
+              | (state["dz"] < 0).astype(jnp.uint32))
+    # Position-major (morton), direction octant as tiebreak: measured best
+    # on book2 (4.71 Mpaths/s vs 4.48 octant-major, 4.02 direction-major) —
+    # origin-cell agreement is what makes the per-tile cluster AABB tests
+    # conservative-yet-tight; direction matters only as a tiebreak.
+    akey = (morton << jnp.uint32(3)) | octant
+    rkey = jnp.uint32(1 << 25) + state["pid"].astype(jnp.int32).astype(jnp.uint32)
+    key = jnp.where(alive, akey, jnp.where(can_regen, rkey, jnp.uint32(1 << 30)))
+    return key.astype(jnp.int32)  # lax.sort of i32 is cheapest
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
+                     "sizes", "interpret", "sublanes", "sort_every", "k_bounces"),
+)
+def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
+                          max_depth, has_checker, has_noise=False,
+                          sizes=None, interpret=False,
+                          sublanes=SORT_SUBLANES, sort_every=1,
+                          k_bounces=1):
+    """Drop-in for megakernel.trace_megakernel_batch (linear slot layout
+    ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3]."""
+    tile_r = sublanes * mk.LANES
+    assert n_rays % tile_r == 0, (n_rays, tile_r)
+    sph, qd, boxes, med, mats, texs = tables
+    n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
+    grid = n_rays // tile_r
+    rows = n_rays // mk.LANES
+    n_samples = camv[22]
+
+    # Scene bounds for the Morton cells, from the packed tables (active
+    # records only; padded rows carry +-BIG cluster bounds, so use the
+    # record arrays themselves).
+    los, his = [], []
+    if n_sph:
+        for ax in "xyz":
+            c = sph["c0" + ax][:n_sph]
+            cd = c + sph["dp" + ax][:n_sph]
+            r = sph["rad"][:n_sph]
+            los.append(jnp.min(jnp.minimum(c, cd) - r))
+            his.append(jnp.max(jnp.maximum(c, cd) + r))
+    if n_box:
+        for i, ax in enumerate("xyz"):
+            los.append(jnp.min(boxes[ax + "0"][:n_box]))
+            his.append(jnp.max(boxes[ax + "1"][:n_box]))
+    if not los:
+        los = [jnp.float32(-1.0)] * 3
+        his = [jnp.float32(1.0)] * 3
+    k = len(los) // 3
+    bb_lo = jnp.stack([jnp.min(jnp.stack(los[i::3])) for i in range(3)] if k > 1
+                      else los)
+    bb_hi = jnp.stack([jnp.max(jnp.stack(his[i::3])) for i in range(3)] if k > 1
+                      else his)
+
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((sublanes, mk.LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kern_kw = dict(
+        max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
+        n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
+        has_noise=has_noise, sublanes=sublanes, k_bounces=k_bounces,
+    )
+
+    # Pack camv + background + every table field into ONE f32 SMEM operand
+    # (see _View). Offsets are compile-time constants.
+    fams = ((sph, mk._SPH_KEYS), (qd, mk._QUAD_KEYS), (boxes, mk._BOX_KEYS),
+            (med, mk._MED_KEYS), (mats, mk._MAT_KEYS), (texs, mk._TEX_KEYS))
+    pieces = [jnp.asarray(camv, jnp.float32).reshape(-1),
+              jnp.asarray(background, jnp.float32).reshape(-1)]
+    offsets = []  # per family: {key: offset}
+    off = pieces[0].shape[0] + pieces[1].shape[0]
+    for tbl, keys in fams:
+        fam_off = {}
+        for k in keys:
+            arr = jnp.asarray(tbl[k], jnp.float32).reshape(-1)
+            fam_off[k] = off
+            off += arr.shape[0]
+            pieces.append(arr)
+        offsets.append(fam_off)
+    packed = jnp.concatenate(pieces)
+    n_camv = int(jnp.asarray(camv).shape[0])
+
+    def kern(packed_ref, seedi_ref, *state_refs):
+        camv_v = _View(packed_ref, 0)
+        bg_v = _View(packed_ref, n_camv)
+        tdicts = [
+            {k: _View(packed_ref, o) for k, o in fam_off.items()}
+            for fam_off in offsets
+        ]
+        n_state = len(_STATE_KEYS)
+        _bounce_step_kernel(
+            (camv_v, seedi_ref, bg_v, *tdicts, *state_refs[:n_state]),
+            state_refs[n_state:], **kern_kw)
+
+    step = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[smem_spec] * 2 + [ray_spec] * len(_STATE_KEYS),
+        out_specs=tuple(ray_spec for _ in _STATE_KEYS),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, mk.LANES), jnp.float32)
+            for _ in _STATE_KEYS),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+    camv = jnp.asarray(camv, jnp.float32)
+    seedi = jnp.asarray(seedi, jnp.int32).reshape(1)
+
+    slot = jnp.arange(n_rays, dtype=jnp.float32) + camv[25]
+    pid0 = jnp.where(slot < camv[20], slot, -1.0)
+    zeros = jnp.zeros(n_rays, jnp.float32)
+    state = dict(
+        s_lane=jnp.full(n_rays, -1.0, jnp.float32), pid=pid0,
+        bn=zeros, al=zeros, ox=zeros, oy=zeros, oz=zeros,
+        dx=zeros, dy=zeros, dz=zeros, tm=zeros,
+        tpr=zeros, tpg=zeros, tpb=zeros, rr=zeros, rg=zeros, rb=zeros,
+    )
+
+    def cond(carry):
+        state, i = carry
+        runnable = (state["al"] > 0.0) | (
+            (state["s_lane"] < n_samples - 1.0) & (state["pid"] >= 0.0))
+        return jnp.any(runnable)
+
+    def body(carry):
+        state, i = carry
+
+        def do_sort(state):
+            # Row-gather of ONE packed [n, 17] array: XLA lowers a
+            # multi-array gather inside while_loop to a slow serialized
+            # form (~60 ms/step measured); the packed row gather runs at
+            # HBM bandwidth (~0.05 ms).
+            keys = sort_keys(state, n_samples, bb_lo, bb_hi)
+            perm = jnp.argsort(keys)
+            packed = jnp.stack([state[k] for k in _STATE_KEYS], axis=1)
+            packed = packed[perm]
+            return {k: packed[:, i] for i, k in enumerate(_STATE_KEYS)}
+
+        if sort_every == 1:
+            state = do_sort(state)
+        else:
+            state = jax.lax.cond(
+                i % sort_every == 0, do_sort, lambda s: s, state)
+        outs = step(packed, seedi,
+                    *(state[k].reshape(rows, mk.LANES) for k in _STATE_KEYS))
+        state = {k: v.reshape(n_rays) for k, v in zip(_STATE_KEYS, outs)}
+        return state, i + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+
+    # Un-permute by pixel id: each pixel has exactly ONE slot, so a scatter
+    # by pid is a bijection onto the image (padding slots pid<0 drop).
+    tgt = jnp.where(state["pid"] >= 0.0,
+                    state["pid"] - camv[25], jnp.float32(n_rays)
+                    ).astype(jnp.int32)
+    out = jnp.zeros((n_rays + 1, 3), jnp.float32)
+    rad = jnp.stack([state["rr"], state["rg"], state["rb"]], axis=-1)
+    out = out.at[tgt].add(rad, mode="drop")
+    return out[:n_rays]

@@ -72,10 +72,11 @@ def in_unit_disk(key, shape=()):
 def unit_vec3_from_uniforms(u1, u2):
     """Exact uniform sphere direction from two uniforms: z = 1-2u,
     φ = 2πu — one threefry draw instead of three gaussians. Shapes broadcast;
-    returns [..., 3]."""
+    returns [..., 3]. (1e-12 floor matches the megakernel's NaN-safe form —
+    sqrt'(0)=inf would poison reverse-mode cotangents at z=±1.)"""
     z = 1.0 - 2.0 * u1
     phi = (2.0 * jnp.pi) * u2
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
@@ -126,6 +127,29 @@ def murmur_uniforms(mega_seed, pixel_ids, ctrs):
     for c in ctrs:
         bits = murmur_mix(
             key ^ murmur_mix(jnp.uint32(c) * jnp.uint32(0x9E3779B9) + jnp.uint32(1))
+        )
+        cols.append((bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24)))
+    return jnp.stack(cols, axis=-1)
+
+
+def murmur_uniforms_at(mega_seed, pixel_ids, ctrs):
+    """murmur_uniforms with TRACED counters (e.g. ``bounce*draws_pb + k``
+    inside the XLA bounce loop): the exact per-draw stream of the v4
+    megakernel, usable from the XLA path for matched-RNG cross-backend
+    goldens (features["rng_impl"]="murmur").
+
+    Args: ctrs: sequence of traced/static i32 scalars. Returns [N, len].
+    """
+    slot = pixel_ids.astype(jnp.uint32)
+    key = murmur_mix(
+        slot * jnp.uint32(0x9E3779B9)
+        ^ murmur_mix(jnp.asarray(mega_seed).astype(jnp.uint32))
+    )
+    cols = []
+    for c in ctrs:
+        cu = jnp.asarray(c).astype(jnp.uint32)
+        bits = murmur_mix(
+            key ^ murmur_mix(cu * jnp.uint32(0x9E3779B9) + jnp.uint32(1))
         )
         cols.append((bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24)))
     return jnp.stack(cols, axis=-1)

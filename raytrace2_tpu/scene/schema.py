@@ -80,6 +80,23 @@ class Quads:
         return self.d.shape[0]
 
 
+def derive_quad_plane(quads: "Quads") -> "Quads":
+    """Recompute the derived plane rows (normal/d/w) from q/u/v in jnp —
+    the differentiable analog of the loader's numpy derivation
+    (Quad.hpp:24-29 via loader._flatten). Use after perturbing quad
+    geometry so the intersector sees consistent records (it reads the
+    DERIVED rows, not q/u/v)."""
+    import jax.numpy as jnp
+
+    n_raw = jnp.cross(quads.u, quads.v)
+    nn = jnp.sum(n_raw * n_raw, axis=-1, keepdims=True)
+    safe_nn = jnp.where(nn > 0, nn, 1.0)
+    normal = n_raw / jnp.sqrt(safe_nn)
+    d = jnp.sum(normal * quads.q, axis=-1)
+    w = n_raw / safe_nn
+    return dataclasses.replace(quads, normal=normal, d=d, w=w)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Boxes:

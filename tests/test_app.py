@@ -98,3 +98,48 @@ def test_module_invocation(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "Num Samples: 1" in r.stdout
     assert out.exists()
+
+
+def test_cli_watch_reloads_scene(tmp_path):
+    """--watch: editing the scene file mid-render reloads it and restarts
+    accumulation (the headless analog of the reference's load-scene panel,
+    src/App.cpp:210-229). The background flips dark->bright mid-run; the
+    final image must show the NEW background, and the reload must be
+    logged."""
+    scene = tmp_path / "scene.json"
+    obj = _scene_json()
+    obj["background_color"] = [0.01, 0.01, 0.01]
+    scene.write_text(json.dumps(obj))
+    out = tmp_path / "out.png"
+
+    # Rewrite the scene from INSIDE the render loop (after the 4th batch)
+    # so the test is deterministic regardless of jit-compile timing — a
+    # wall-clock thread races a warm-cache render that finishes in <2 s.
+    from raytrace2_tpu.render import Renderer
+
+    calls = {"n": 0}
+    orig_update = Renderer.update
+
+    def update_and_rewrite(self, n):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            obj["background_color"] = [0.9, 0.9, 0.9]
+            scene.write_text(json.dumps(obj))
+        return orig_update(self, n)
+
+    import contextlib
+    import io as _io
+    from unittest import mock
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf), mock.patch.object(
+            Renderer, "update", update_and_rewrite):
+        rc = main([str(scene), str(out), "--samples", "48", "--depth", "3",
+                   "--batch", "1", "--watch"])
+    assert rc == 0
+    assert calls["n"] >= 5, calls  # reload happened mid-run, then continued
+    log_text = buf.getvalue()
+    assert "Scene reloaded" in log_text, log_text[-500:]
+    dec = image.decode_png(out.read_bytes())
+    # Bright sky after reload: mean far above the dark original's ~0-20.
+    assert dec.mean() > 60, dec.mean()

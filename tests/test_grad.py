@@ -196,3 +196,123 @@ def test_light_brightness_gradient_positive(tmp_path):
     # texture's albedo.
     light_tex = int(scene.materials.tex[2])
     assert float(jnp.sum(g.textures.albedo[light_tex])) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Camera + quad-geometry FD rigor (VERDICT r1 #5): every differentiable
+# CameraParams leaf and the floor quad's q/u/v, through the full render.
+# A Perlin-marble floor makes radiance depend continuously on where rays
+# land (Texture.cpp:13-22 noise), so the detached estimator's gradient is
+# the exact derivative of the fixed-RNG primal and FD must match TIGHTLY
+# (same deterministic function) — not just the 0.2–5x band of the
+# silhouette-confounded tests above.
+# ---------------------------------------------------------------------------
+
+
+def _noise_scene(tmp_path):
+    j = {
+        "background_color": [0.7, 0.75, 0.8],
+        "camera": {"fov": 42, "center": [0, 2, 5], "look_at": [0, 0.5, 0],
+                   "defocus_angle": 1.5, "focus_dist": 5.2},
+        "textures": [{"type": "noise", "albedo": [0.85, 0.8, 0.75],
+                      "scale": 0.6, "noise_type": 0}],
+        "materials": [
+            {"type": "texture", "tex_idx": 0},
+            {"type": "metal", "albedo": [0.9, 0.9, 0.9], "fuzz": 0.05},
+        ],
+        "primitives": [
+            {"type": "quad", "q": [-30, 0, -30], "u": [60, 0, 0],
+             "v": [0, 0, 60], "material": 0},
+            {"type": "sphere", "center": [0, 1.0, 0], "radius": 0.9,
+             "material": 1},
+        ],
+    }
+    p = tmp_path / "cam_geo.json"
+    p.write_text(json.dumps(j))
+    scene, _ = loader.load_scene(str(p))
+    return schema.to_device(scene), tuple(sorted(scene.features().items()))
+
+
+CAM_KW = dict(width=10, height=10, n_samples=2, max_depth=4, sqrt_spp=1)
+
+
+def _masked_fd_check(f_img, eps, label, rel=5e-2, min_keep=0.6):
+    """AD vs central FD on the CONTINUOUS part of the render.
+
+    The detached-selection estimator differentiates the radiance at fixed
+    discrete structure (which primitive wins, reflect/refract branch, …);
+    the a.e.-correct derivative excludes silhouette jumps. A plain FD of
+    the mean at ±eps does NOT: one edge crossing a pixel contributes
+    Δradiance/(2·eps·n_pix) — at eps=2e-3 that's ~0.4, swamping O(0.05)
+    continuous gradients. So mask per pixel-channel by the SECOND central
+    difference: continuous pixels have |f(+e)+f(-e)-2f(0)| = O(f''·e²) ≲
+    1e-4, a branch flip shows the jump itself (≳1e-2). Compare AD against
+    FD of the masked mean, tightly — on that subset both are derivatives
+    of the same deterministic fixed-RNG f32 function.
+
+    ``f_img(delta) -> [H,W,3]`` must be AD-traceable in delta.
+    """
+    img_p = np.asarray(f_img(+eps))
+    img_m = np.asarray(f_img(-eps))
+    img_0 = np.asarray(f_img(0.0))
+    curv = np.abs(img_p + img_m - 2.0 * img_0)
+    mask = jnp.asarray((curv < 1e-3).astype(np.float32))
+    kept = float(mask.mean())
+    assert kept >= min_keep, f"{label}: only {kept:.0%} pixels branch-stable"
+
+    denom = float(mask.sum())
+    want = float(((img_p - img_m) * np.asarray(mask)).sum() / (2 * eps) / denom)
+    got = float(jax.grad(
+        lambda d: jnp.sum(f_img(d) * mask) / denom)(0.0))
+    assert np.isfinite(got), f"{label}: non-finite AD"
+    if abs(want) < 5e-5 and abs(got) < 5e-5:
+        return
+    assert got == pytest.approx(want, rel=rel, abs=5e-5), (
+        f"{label}: ad={got} fd={want} (kept={kept:.0%})")
+
+
+@pytest.mark.parametrize(
+    "leaf,idx,eps",
+    [
+        ("vfov", (), 2e-2),
+        ("center", (0,), 2e-3),
+        ("center", (2,), 2e-3),
+        ("look_at", (1,), 2e-3),
+        ("defocus_angle", (), 2e-2),
+        ("focus_dist", (), 2e-3),
+    ],
+)
+def test_camera_gradients_match_fd(tmp_path, leaf, idx, eps):
+    scene, features = _noise_scene(tmp_path)
+
+    def f_img(delta):
+        arr = getattr(scene.camera, leaf)
+        new = arr.at[idx].add(delta) if idx != () else arr + delta
+        moved = dataclasses.replace(
+            scene, camera=dataclasses.replace(scene.camera, **{leaf: new}))
+        return grad_mod.render_image(moved, features, 0, **CAM_KW)
+
+    _masked_fd_check(f_img, eps, f"camera.{leaf}{idx}")
+
+
+@pytest.mark.parametrize(
+    "field,idx,eps",
+    [
+        ("q", (0, 1), 2e-3),   # floor height: every diffuse bounce shifts
+        ("u", (0, 0), 2e-3),   # texture-space stretch
+        ("v", (0, 2), 2e-3),
+    ],
+)
+def test_quad_geometry_gradients_match_fd(tmp_path, field, idx, eps):
+    scene, features = _noise_scene(tmp_path)
+
+    def f_img(delta):
+        arr = getattr(scene.quads, field)
+        moved_q = dataclasses.replace(scene.quads, **{field: arr.at[idx].add(delta)})
+        # Re-derive the packed plane rows the intersector actually reads
+        # (normal/d/w are functions of q/u/v — loader._pack_quads).
+        moved = dataclasses.replace(
+            scene, quads=schema.derive_quad_plane(moved_q))
+        return grad_mod.render_image(moved, features, 0, **CAM_KW)
+
+    _masked_fd_check(f_img, eps, f"quad.{field}{idx}")

@@ -1,0 +1,48 @@
+"""Sorted-wavefront kernel (ops/pallas/wavefront_sorted.py) — the big-scene
+production path. Its contract: per-lane arithmetic identical to the v4
+megakernel, so renders are BITWISE equal for any (sort_every, k_bounces);
+only the tile membership (and therefore throughput) changes.
+
+Reference semantics being preserved: the progressive accumulation loop of
+RayTracer.cpp:55-70 with per-(pixel, sample) deterministic streams.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace2_tpu.ops import integrator
+from raytrace2_tpu.scene import loader, schema
+
+
+def _render(scene_host, scene, w, h, spp, depth, **kw):
+    feat = dict(scene_host.features(), use_megakernel=True,
+                mega_interpret=True, **kw)
+    r = integrator.render_progressive(
+        scene, feat, w, h, jnp.int32(0), jnp.int32(spp), 0, depth, 1)
+    return np.asarray(r)
+
+
+V4_KW = dict(mega_wavefront=False, mega_linear=True, mega_sublanes=8,
+             mega_wave_frac=1.0)
+
+
+@pytest.mark.parametrize("k_bounces,sort_every", [(1, 1), (4, 1), (16, 2)])
+def test_wavefront_bitwise_equals_v4_cornell(data_dir, k_bounces, sort_every):
+    scene_host, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
+    scene = schema.to_device(scene_host)
+    a = _render(scene_host, scene, 24, 16, 2, 6, **V4_KW)
+    b = _render(scene_host, scene, 24, 16, 2, 6, mega_wavefront=True,
+                mega_k_bounces=k_bounces, mega_sort_every=sort_every)
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_wavefront_bitwise_equals_v4_book2(data_dir):
+    """Full feature surface: boxes, media, noise, moving sphere, lights."""
+    scene_host, _ = loader.load_scene(
+        f"{data_dir}/book2_final_scene_10000_samples.json")
+    scene = schema.to_device(scene_host)
+    a = _render(scene_host, scene, 24, 16, 2, 6, **V4_KW)
+    b = _render(scene_host, scene, 24, 16, 2, 6, mega_wavefront=True)
+    np.testing.assert_array_equal(a, b)
