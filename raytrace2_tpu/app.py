@@ -93,8 +93,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--live-cols", type=int, default=100)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the render into DIR")
+    p.add_argument("--metrics", default=None, metavar="JSONL",
+                   help="append one JSON line of structured metrics per "
+                        "dispatch (sample index, wall time, Mpaths/s, device "
+                        "memory) plus a final summary record")
     p.add_argument("--quiet", action="store_true")
     return p
+
+
+def _device_mem_bytes():
+    """Bytes in use on the render device, when the backend reports it
+    (TPU/GPU expose memory_stats; CPU returns None)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats["bytes_in_use"]) if stats else None
+    except Exception:
+        return None
 
 
 def main(argv=None) -> int:
@@ -221,6 +237,20 @@ def main(argv=None) -> int:
                     log(f"Scene reloaded: {scene_path} (accumulation reset)")
         renderer.update(min(batch, total - renderer.frame_idx))
         i = renderer.frame_idx
+        if args.metrics:
+            dt = time.perf_counter() - t0
+            rec = {
+                "event": "dispatch", "sample": i, "total": total,
+                "elapsed_s": round(dt, 4),
+                "mpaths_per_s": round(
+                    (i - done0) * rays_per_sample / max(dt, 1e-9) / 1e6, 4),
+                "width": width, "height": height, "scene": scene_name,
+            }
+            mem = _device_mem_bytes()
+            if mem is not None:
+                rec["device_mem_bytes"] = mem
+            with open(args.metrics, "a") as f:
+                f.write(json.dumps(rec) + "\n")
         if args.live:
             from raytrace2_tpu.io import term
 
@@ -239,6 +269,18 @@ def main(argv=None) -> int:
 
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
+    if args.metrics:
+        dt = time.perf_counter() - t0
+        with open(args.metrics, "a") as f:
+            f.write(json.dumps({
+                "event": "done", "samples": renderer.frame_idx,
+                "total": total, "elapsed_s": round(dt, 4),
+                "mpaths_per_s": round(
+                    (renderer.frame_idx - done0) * rays_per_sample
+                    / max(dt, 1e-9) / 1e6, 4),
+                "width": width, "height": height, "scene": scene_name,
+                "output": out_path,
+            }) + "\n")
     log(f"Writing image: {out_path}")
     image_io.write_image(renderer.linear_pixels(), out_path)
     if args.checkpoint:

@@ -58,6 +58,9 @@ def render_image(scene, features, seed, *, width, height, n_samples,
     if (
         features.get("use_megakernel", False)
         and features.get("mega_sizes") is not None
+        # Table-Perlin mode differentiates on the XLA path (native gathers
+        # with full AD); the replay kernel keeps hash noise only.
+        and features.get("noise_impl", "hash") == "hash"
     ):
         from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
 

@@ -382,6 +382,15 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         interpret=bool(features.get("mega_interpret", False)),
         sublanes=sublanes, wave_frac=wave_frac, linear_slots=linear,
     )
+    # noise_impl="table": run the kernel on the XLA path's exact 256-entry
+    # Perlin tables (VMEM per-lane gathers) instead of the default
+    # hash-gradient noise — required for tight cross-backend noise goldens.
+    ntab = None
+    if (
+        kernel_kw["has_noise"]
+        and features.get("noise_impl", "hash") == "table"
+    ):
+        ntab = mk.pack_noise_tables(scene, tuple(features["noise_rows"]))
     if differentiable:
         from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
 
@@ -397,12 +406,13 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         radiance = wf.trace_wavefront_batch(
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
             sort_every=int(features.get("mega_sort_every", 1)),
-            k_bounces=int(features.get("mega_k_bounces", 16)), **kernel_kw,
+            k_bounces=int(features.get("mega_k_bounces", 16)),
+            ntab=ntab, **kernel_kw,
         )
     else:
         radiance = mk.trace_megakernel_batch(
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
-            **kernel_kw,
+            ntab=ntab, **kernel_kw,
         )
     if n_local is not None:
         return radiance[:n]          # sharded caller keeps the flat slot tile

@@ -81,7 +81,8 @@ _MED_KEYS = ("btype", "p0x", "p0y", "p0z", "p1x", "p1y", "p1z",
              "i20", "i21", "i22", "i23", "nid", "mat")
 _MAT_KEYS = ("mtype", "alr", "alg", "alb", "param", "tex")
 _TEX_KEYS = ("ttype", "alr", "alg", "alb", "inv_scale", "even", "odd",
-             "scale", "ntype")
+             "scale", "ntype", "nslot")
+NOISE_TABLE_N = 256  # entries per Perlin perm/grad table (PerlinNoiseGen.cpp)
 
 
 def _cluster_tables(tbl, lo, hi, act_mask, cluster, super_):
@@ -212,13 +213,35 @@ def pack_tables(scene, sizes):
         alb=f32(m.albedo[:, 2]), param=f32(m.param), tex=f32(m.tex),
     )
     t = scene.textures
+    # nslot: position of each noise row among the noise rows (its table slot
+    # in the pack_noise_tables operand); 0 for non-noise rows (never read).
+    is_noise = (t.ttype == defs.TEX_NOISE).astype(jnp.int32)
+    nslot = jnp.cumsum(is_noise) - is_noise
     texs = dict(
         ttype=f32(t.ttype), alr=f32(t.albedo[:, 0]), alg=f32(t.albedo[:, 1]),
         alb=f32(t.albedo[:, 2]), inv_scale=f32(t.inv_scale),
         even=f32(t.even), odd=f32(t.odd),
-        scale=f32(t.scale), ntype=f32(t.noise_type),
+        scale=f32(t.scale), ntype=f32(t.noise_type), nslot=f32(nslot),
     )
     return sph, qd, boxes, med, mats, texs
+
+
+def pack_noise_tables(scene, noise_rows):
+    """Pack the noise textures' Perlin tables for the kernel's table-Perlin
+    mode (features noise_impl="table"): [8, T*256] f32 — rows 0-2 the three
+    permutation tables (integer-valued), rows 3-5 the gradient xyz, rows 6-7
+    sublane padding. Texture with nslot s occupies columns s*256..s*256+255,
+    so a per-lane flat gather index is nslot*256 + (lattice & 255).
+    Reference tables: src/cpu_raytrace/PerlinNoiseGen.cpp:40-50 via
+    scene/perlin.py (deterministic seeding)."""
+    t = scene.textures
+    rows = list(noise_rows)
+    perm = jnp.stack([t.perm[r] for r in rows], 1).reshape(3, -1)  # [3, T*256]
+    grad = jnp.stack([t.grad[r] for r in rows], 0)                 # [T,256,3]
+    gxyz = jnp.moveaxis(grad, -1, 0).reshape(3, -1)                # [3, T*256]
+    out = jnp.concatenate([perm.astype(jnp.float32), gxyz], axis=0)
+    return jnp.concatenate(
+        [out, jnp.zeros((2, out.shape[1]), jnp.float32)], axis=0)
 
 
 def _mix(x):
@@ -324,9 +347,60 @@ def _kf(k):
     return k.astype(jnp.float32) if hasattr(k, "astype") else jnp.float32(k)
 
 
+def _table_perlin(px, py, pz, base_i, p0, p1, p2, g0, g1, g2):
+    """One octave of TABLE Perlin (the XLA path's exact function,
+    ops/textures.perlin_noise / PerlinNoiseGen.cpp:66-88): per-lane gathers
+    from the packed [T*256] perm/grad rows (``jnp.take`` lowers to a lane
+    gather on TPU). ``base_i`` = nslot*256 selects the lane's texture's
+    table block; lattice coords are masked &255 like the reference."""
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    fz = jnp.floor(pz)
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+    iz = fz.astype(jnp.int32)
+    u = px - fx
+    v = py - fy
+    w = pz - fz
+    uu = u * u * (3.0 - 2.0 * u)
+    vv = v * v * (3.0 - 2.0 * v)
+    ww = w * w * (3.0 - 2.0 * w)
+    pxv = [jnp.take(p0, base_i + ((ix + di) & 255), axis=0).astype(jnp.int32)
+           for di in (0, 1)]
+    pyv = [jnp.take(p1, base_i + ((iy + dj) & 255), axis=0).astype(jnp.int32)
+           for dj in (0, 1)]
+    pzv = [jnp.take(p2, base_i + ((iz + dk) & 255), axis=0).astype(jnp.int32)
+           for dk in (0, 1)]
+    accum = jnp.zeros_like(px)
+    for di in (0, 1):
+        wi = di * uu + (1 - di) * (1.0 - uu)
+        for dj in (0, 1):
+            wj = dj * vv + (1 - dj) * (1.0 - vv)
+            for dk in (0, 1):
+                wk = dk * ww + (1 - dk) * (1.0 - ww)
+                gi = base_i + (pxv[di] ^ pyv[dj] ^ pzv[dk])
+                dot = (jnp.take(g0, gi, axis=0) * (u - di)
+                       + jnp.take(g1, gi, axis=0) * (v - dj)
+                       + jnp.take(g2, gi, axis=0) * (w - dk))
+                accum = accum + wi * wj * wk * dot
+    return accum
+
+
+def _table_turbulence(px, py, pz, base_i, rows, depth=7):
+    """|sum 0.5^k table_noise(2^k p)| (PerlinNoiseGen.cpp:52-64)."""
+    accum = jnp.zeros_like(px)
+    weight = 1.0
+    sx, sy, sz = px, py, pz
+    for _ in range(depth):
+        accum = accum + weight * _table_perlin(sx, sy, sz, base_i, *rows)
+        weight *= 0.5
+        sx, sy, sz = sx * 2.0, sy * 2.0, sz * 2.0
+    return jnp.abs(accum)
+
+
 def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                  n_quad, n_med, n_mat, n_tex, n_box, has_checker, has_noise,
-                 shape, unroll_py=False):
+                 shape, unroll_py=False, ntab=None):
     """Build the per-bounce transition shared by the v3 (state-passing)
     and v4 (path-regeneration) kernels. ``key`` is the per-lane RNG key
     for the CURRENT (pixel, sample); ``tm`` the per-lane shutter time.
@@ -639,7 +713,8 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
         # ---- texture resolve (solid / checker / hash-Perlin noise) -------
         def tex_sweep(idx_f):
             def tex_body(k, acc):
-                ttype, talr, talg, talb, tinv, tev, tod, tsc, tnt = acc
+                (ttype, talr, talg, talb, tinv, tev, tod, tsc, tnt,
+                 tns) = acc
                 sel = idx_f == _kf(k)
                 return (
                     jnp.where(sel, texs["ttype"][k], ttype),
@@ -651,16 +726,17 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                     jnp.where(sel, texs["odd"][k], tod),
                     jnp.where(sel, texs["scale"][k], tsc),
                     jnp.where(sel, texs["ntype"][k], tnt),
+                    jnp.where(sel, texs["nslot"][k], tns),
                 )
 
             return loop(
                 n_tex, tex_body,
-                tuple(jnp.zeros(shape) for _ in range(9)),
+                tuple(jnp.zeros(shape) for _ in range(10)),
             )
 
         leaf = mtex
         (ttype, t_alr, t_alg, t_alb, t_inv, t_even, t_odd,
-         t_scale, t_ntype) = tex_sweep(leaf)
+         t_scale, t_ntype, t_nslot) = tex_sweep(leaf)
         if has_checker:
             fx = jnp.floor(t_inv * px)
             fy = jnp.floor(t_inv * py)
@@ -668,7 +744,8 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             parity = fx + fy + fz - 2.0 * jnp.floor((fx + fy + fz) * 0.5)
             child = jnp.where(parity == 0.0, t_even, t_odd)
             leaf = jnp.where(ttype == float(defs.TEX_CHECKER), child, mtex)
-            (ttype, t_alr, t_alg, t_alb, _, _, _, t_scale, t_ntype) = tex_sweep(leaf)
+            (ttype, t_alr, t_alg, t_alb, _, _, _, t_scale, t_ntype,
+             t_nslot) = tex_sweep(leaf)
         if has_noise:
             # Texture.cpp:13-22 with hash-derived gradients (see
             # _hash_gradient); pattern keyed by texture index only, so it is
@@ -686,16 +763,38 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             is_noise = ttype == float(defs.TEX_NOISE)
             sel_n = is_noise & valid
 
-            def _noise_factor():
-                marble = 0.5 * (1.0 + jnp.sin(
-                    t_scale * npz + 10.0 * _turbulence(npx, npy, npz, nseed)
-                ))
-                perl = 0.5 * (1.0 + _perlin_noise(
-                    t_scale * npx, t_scale * npy, t_scale * npz, nseed
-                ))
-                return jnp.where(
-                    t_ntype == float(defs.NOISE_MARBLE), marble, perl
-                )
+            if ntab is not None:
+                # TABLE mode (features noise_impl="table"): the XLA path's
+                # exact 256-entry perm/grad tables, gathered per lane from
+                # the packed VMEM operand — cross-backend noise goldens
+                # compare the same function. ntab is the [8, T*256] jnp
+                # array (callers materialize the ref before _make_bounce).
+                trows = tuple(ntab[i] for i in range(6))
+                base_i = t_nslot.astype(jnp.int32) * NOISE_TABLE_N
+
+                def _noise_factor():
+                    marble = 0.5 * (1.0 + jnp.sin(
+                        t_scale * npz + 10.0 * _table_turbulence(
+                            npx, npy, npz, base_i, trows)
+                    ))
+                    perl = 0.5 * (1.0 + _table_perlin(
+                        t_scale * npx, t_scale * npy, t_scale * npz,
+                        base_i, *trows
+                    ))
+                    return jnp.where(
+                        t_ntype == float(defs.NOISE_MARBLE), marble, perl
+                    )
+            else:
+                def _noise_factor():
+                    marble = 0.5 * (1.0 + jnp.sin(
+                        t_scale * npz + 10.0 * _turbulence(npx, npy, npz, nseed)
+                    ))
+                    perl = 0.5 * (1.0 + _perlin_noise(
+                        t_scale * npx, t_scale * npy, t_scale * npz, nseed
+                    ))
+                    return jnp.where(
+                        t_ntype == float(defs.NOISE_MARBLE), marble, perl
+                    )
 
             if unroll_py:
                 # The replay must stay cond-free (lax.cond has no transpose).
@@ -1240,7 +1339,8 @@ def pixel_slots(width: int, height: int, sublanes: int = SUBLANES,
 
 def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
                       n_mat, n_tex, n_box, has_checker, has_noise,
-                      sublanes=SUBLANES, wave_frac=1.0, linear_slots=False):
+                      sublanes=SUBLANES, wave_frac=1.0, linear_slots=False,
+                      ntab_ref=None):
     (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs) = refs_in
     out_rr, out_rg, out_rb = refs_out
     shape = (sublanes, LANES)
@@ -1278,6 +1378,7 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
         n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
         has_noise=has_noise, shape=shape,
+        ntab=None if ntab_ref is None else ntab_ref[...],
     )
 
     zero = jnp.zeros(shape)
@@ -1345,12 +1446,14 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
 def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
                            max_depth, has_checker, has_noise=False,
                            sizes=None, interpret=False, sublanes=SUBLANES,
-                           wave_frac=1.0, linear_slots=False):
+                           wave_frac=1.0, linear_slots=False, ntab=None):
     """Sum of n_samples progressive samples for every pixel, one kernel
     launch. ``camv`` is the _CAMV_LEN f32 control vector (camera frame +
     batch params); ``seedi`` the exact i32 seed (f32 camv can't carry it);
     n_rays = padded slot count (multiple of sublanes*LANES; see
-    pixel_slots). Returns radiance-sum [n_rays, 3]."""
+    pixel_slots). ``ntab``: optional packed Perlin tables
+    (pack_noise_tables) switching the kernel to table-Perlin mode.
+    Returns radiance-sum [n_rays, 3]."""
     tile_r, _ = tile_block(sublanes)
     assert n_rays % tile_r == 0
     rows = n_rays // LANES
@@ -1360,12 +1463,14 @@ def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
     grid = n_rays // tile_r
     ray_spec = pl.BlockSpec((sublanes, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     kw = dict(
         max_depth=max_depth,
         n_sph=n_sph, n_quad=n_quad, n_med=n_med, n_mat=n_mat, n_tex=n_tex,
         n_box=n_box, has_checker=has_checker, has_noise=has_noise,
         sublanes=sublanes, wave_frac=wave_frac, linear_slots=linear_slots,
     )
+    with_ntab = ntab is not None
 
     def kern(*refs):
         camv_r = refs[0]
@@ -1384,27 +1489,19 @@ def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
         pos += len(_MAT_KEYS)
         tex_r = dict(zip(_TEX_KEYS, refs[pos:pos + len(_TEX_KEYS)]))
         pos += len(_TEX_KEYS)
+        ntab_r = None
+        if with_ntab:
+            ntab_r = refs[pos]
+            pos += 1
         outs = refs[pos:pos + 3]
         _render_kernel_v4(
             (camv_r, seedi_r, bg_r, sph_r, qd_r, box_r, med_r, mat_r, tex_r),
-            outs, **kw
+            outs, ntab_ref=ntab_r, **kw
         )
 
     n_tables = (len(_SPH_KEYS) + len(_QUAD_KEYS) + len(_BOX_KEYS)
                 + len(_MED_KEYS) + len(_MAT_KEYS) + len(_TEX_KEYS))
-    outs = pl.pallas_call(
-        kern,
-        grid=(grid,),
-        in_specs=[smem_spec] * (3 + n_tables),
-        out_specs=(ray_spec, ray_spec, ray_spec),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32) for _ in range(3)
-        ),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(
+    operands = [
         jnp.asarray(camv, jnp.float32),
         jnp.asarray(seedi, jnp.int32).reshape(1),
         jnp.asarray(background, jnp.float32),
@@ -1414,5 +1511,22 @@ def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
         *(med[k] for k in _MED_KEYS),
         *(mats[k] for k in _MAT_KEYS),
         *(texs[k] for k in _TEX_KEYS),
-    )
+    ]
+    in_specs = [smem_spec] * (3 + n_tables)
+    if with_ntab:
+        operands.append(jnp.asarray(ntab, jnp.float32))
+        in_specs.append(vmem_full)
+    outs = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32) for _ in range(3)
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*operands)
     return jnp.stack([x.reshape(n_rays) for x in outs], axis=-1)

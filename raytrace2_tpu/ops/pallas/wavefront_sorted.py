@@ -79,7 +79,7 @@ class _View:
 
 def _bounce_step_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad,
                         n_med, n_mat, n_tex, n_box, has_checker, has_noise,
-                        sublanes, k_bounces=1):
+                        sublanes, k_bounces=1, ntab_ref=None):
     (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs) = refs_in[:9]
     state_in = refs_in[9:]
     shape = (sublanes, mk.LANES)
@@ -94,6 +94,7 @@ def _bounce_step_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad,
         max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
         n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
         has_noise=has_noise, shape=shape,
+        ntab=None if ntab_ref is None else ntab_ref[...],
     )
 
     def step(st):
@@ -215,7 +216,7 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                           max_depth, has_checker, has_noise=False,
                           sizes=None, interpret=False,
                           sublanes=SORT_SUBLANES, sort_every=1,
-                          k_bounces=1):
+                          k_bounces=1, ntab=None):
     """Drop-in for megakernel.trace_megakernel_batch (linear slot layout
     ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3]."""
     tile_r = sublanes * mk.LANES
@@ -278,22 +279,29 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
     packed = jnp.concatenate(pieces)
     n_camv = int(jnp.asarray(camv).shape[0])
 
-    def kern(packed_ref, seedi_ref, *state_refs):
+    with_ntab = ntab is not None
+
+    def kern(packed_ref, seedi_ref, *rest):
         camv_v = _View(packed_ref, 0)
         bg_v = _View(packed_ref, n_camv)
         tdicts = [
             {k: _View(packed_ref, o) for k, o in fam_off.items()}
             for fam_off in offsets
         ]
+        ntab_r = None
+        if with_ntab:
+            ntab_r, rest = rest[0], rest[1:]
         n_state = len(_STATE_KEYS)
         _bounce_step_kernel(
-            (camv_v, seedi_ref, bg_v, *tdicts, *state_refs[:n_state]),
-            state_refs[n_state:], **kern_kw)
+            (camv_v, seedi_ref, bg_v, *tdicts, *rest[:n_state]),
+            rest[n_state:], ntab_ref=ntab_r, **kern_kw)
 
+    ntab_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] if with_ntab else [])
     step = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[smem_spec] * 2 + [ray_spec] * len(_STATE_KEYS),
+        in_specs=[smem_spec] * 2 + ntab_specs + [ray_spec] * len(_STATE_KEYS),
         out_specs=tuple(ray_spec for _ in _STATE_KEYS),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, mk.LANES), jnp.float32)
@@ -342,7 +350,8 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
         else:
             state = jax.lax.cond(
                 i % sort_every == 0, do_sort, lambda s: s, state)
-        outs = step(packed, seedi,
+        ntab_ops = (jnp.asarray(ntab, jnp.float32),) if with_ntab else ()
+        outs = step(packed, seedi, *ntab_ops,
                     *(state[k].reshape(rows, mk.LANES) for k in _STATE_KEYS))
         state = {k: v.reshape(n_rays) for k, v in zip(_STATE_KEYS, outs)}
         return state, i + 1

@@ -245,6 +245,10 @@ class FlatScene:
             "has_media": bool(np.any(np.asarray(self.media.active))),
             "has_noise": bool(np.any(ttypes == 2)),    # defs.TEX_NOISE
             "has_checker": bool(np.any(ttypes == 1)),  # defs.TEX_CHECKER
+            # Texture rows that carry Perlin tables, in nslot order (the
+            # megakernel's table-Perlin mode packs their perm/grad tables
+            # into a VMEM operand; see megakernel.pack_noise_tables).
+            "noise_rows": tuple(int(r) for r in np.nonzero(ttypes == 2)[0]),
             # (n_spheres, n_plain_quads, n_mats, n_texs, n_media, n_boxes):
             # box-derived quads sit AFTER the plain quads, so the kernel's
             # quad sweep covers the first (active_quads - 6·n_boxes) rows

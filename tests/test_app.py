@@ -143,3 +143,23 @@ def test_cli_watch_reloads_scene(tmp_path):
     dec = image.decode_png(out.read_bytes())
     # Bright sky after reload: mean far above the dark original's ~0-20.
     assert dec.mean() > 60, dec.mean()
+
+
+def test_cli_metrics_jsonl(tmp_path):
+    """--metrics: one structured JSON record per dispatch plus a final
+    summary (SURVEY §5 metrics/observability — the reference's only perf
+    surface is the window-title FPS average, App.cpp:182-191)."""
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps(_scene_json()))
+    out = tmp_path / "out.png"
+    metrics = tmp_path / "metrics.jsonl"
+    rc = main([str(scene), str(out), "--samples", "4", "--depth", "2",
+               "--batch", "2", "--quiet", "--metrics", str(metrics)])
+    assert rc == 0
+    recs = [json.loads(ln) for ln in metrics.read_text().splitlines()]
+    dispatches = [r for r in recs if r["event"] == "dispatch"]
+    assert [r["sample"] for r in dispatches] == [2, 4]
+    assert all(r["total"] == 4 and r["mpaths_per_s"] >= 0 for r in dispatches)
+    done = recs[-1]
+    assert done["event"] == "done" and done["samples"] == 4
+    assert done["output"] == str(out)
