@@ -257,3 +257,80 @@ def test_renderer_bvh_backend_matches_dense(data_dir):
     img_d = r_dense.render(batch=4)
     img_b = r_bvh.render(batch=4)
     np.testing.assert_allclose(img_b, img_d, rtol=1e-4, atol=1e-5)
+
+
+def test_scenes_beyond_smem_limit_use_bvh_fallback():
+    """Scaling story past MAX_SMEM_RECORDS (4096): a 5,000-sphere scene is
+    megakernel-ineligible, so 'auto' routes to the XLA path with the sphere
+    BVH enabled — sublinear like the reference's App-level BVH wrap
+    (src/App.cpp:126) — and renders the same image as the forced-dense
+    sweep."""
+    import dataclasses
+
+    from raytrace2_tpu import render as render_mod
+    from raytrace2_tpu.ops.pallas import megakernel as mk
+    from raytrace2_tpu.scene import perlin, schema
+
+    rs = np.random.RandomState(7)
+    n = mk.MAX_SMEM_RECORDS + 904  # 5,000
+    # Non-overlapping grid (spacing 1.5 > 2*max radius): overlapping random
+    # spheres would legitimately flip closest-hit winners between the BVH
+    # and dense sweeps on f32 ties, which is not what this test gates.
+    side = int(np.ceil(np.sqrt(n)))
+    gx, gz = np.meshgrid(np.arange(side), np.arange(side))
+    centers = np.stack([
+        (gx.reshape(-1)[:n] - side / 2) * 1.5,
+        rs.uniform(0.5, 4.0, n),
+        (gz.reshape(-1)[:n] - side / 2) * 1.5,
+    ], axis=-1)
+    scene = schema.FlatScene(
+        spheres=schema.make_spheres(
+            centers, np.zeros((n, 3)), rs.uniform(0.2, 0.5, n),
+            np.zeros(n, np.int32)),
+        quads=schema.make_quads(
+            [[-50, 0, -50]], [[100, 0, 0]], [[0, 0, 100]], [0]),
+        boxes=schema.empty_boxes(),
+        media=schema.empty_media(),
+        materials=schema.Materials(
+            mtype=np.array([0], np.int32),
+            albedo=np.array([[0.6, 0.6, 0.6]], np.float32),
+            param=np.zeros(1, np.float32), tex=np.zeros(1, np.int32)),
+        textures=schema.Textures(
+            ttype=np.zeros(1, np.int32),
+            albedo=np.array([[0.5, 0.5, 0.5]], np.float32),
+            inv_scale=np.ones(1, np.float32), scale=np.ones(1, np.float32),
+            even=np.zeros(1, np.int32), odd=np.zeros(1, np.int32),
+            noise_type=np.zeros(1, np.int32),
+            perm=np.tile(perlin.identity_tables()[0], (1, 1, 1)),
+            grad=np.zeros((1, 256, 3), np.float32)),
+        camera=schema.CameraParams(
+            center=np.array([0.0, 6.0, 60.0], np.float32),
+            look_at=np.zeros(3, np.float32),
+            vup=np.array([0.0, 1.0, 0.0], np.float32),
+            vfov=np.float32(30.0), defocus_angle=np.float32(0.0),
+            focus_dist=np.float32(10.0)),
+        background=np.array([0.7, 0.8, 1.0], np.float32),
+    )
+    kw = dict(width=16, height=12, num_samples=1, max_depth=4, seed=0,
+              chunk_size=None)
+    r_auto = render_mod.Renderer(scene=scene, backend="auto", **kw)
+    feats = dict(r_auto._features)
+    assert not feats["use_megakernel"], "5k records must not fit SMEM"
+    assert feats["use_bvh_spheres"], "auto must enable the BVH fallback"
+    r_dense = render_mod.Renderer(
+        scene=dataclasses.replace(scene), backend="xla", **kw)
+    r_dense._features = tuple(sorted(
+        {**dict(r_dense._features), "use_bvh_spheres": False}.items()))
+    img_a = np.asarray(r_auto.render(batch=1))
+    img_d = np.asarray(r_dense.render(batch=1))
+    # At this resolution every ray grazes several tiny spheres, so a few
+    # marginal hits legitimately flip on the traversal's f32 AABB slab
+    # rounding (same class as test_traversal_matches_brute_force's
+    # tolerance). Gate: almost all pixels agree tightly, and the agreeing
+    # ones are exact-path identical.
+    per_px = np.abs(img_a - img_d).max(-1)
+    flipped = per_px > 1e-4
+    assert flipped.mean() < 0.05, f"{flipped.sum()} flipped pixels"
+    np.testing.assert_allclose(
+        img_a[~flipped], img_d[~flipped], rtol=1e-4, atol=1e-5)
+    assert abs(img_a.mean() - img_d.mean()) < 0.01
