@@ -6,7 +6,8 @@ Covers the BASELINE.md eval ladder end-to-end:
    reference's shipped screenshot.
 2. Throughput for cornell (megakernel + XLA), cornell_volume (media
    in-kernel), final_render_book_1 (DoF/motion blur/checker, megakernel),
-   book2 final (media+noise -> XLA fallback).
+   book2 final (media+noise in-kernel; routed to the sorted-wavefront
+   megakernel by record count — integrator.mega_schedule).
 
 Dispatches are capped (default 32 samples) because long device steps can
 wedge network-attached runtimes; every timing forces a scalar readback.
