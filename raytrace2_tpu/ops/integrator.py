@@ -407,6 +407,7 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
             sort_every=int(features.get("mega_sort_every", 1)),
             k_bounces=int(features.get("mega_k_bounces", 16)),
+            key_mode=str(features.get("mega_sort_key", "pos")),
             ntab=ntab, **kernel_kw,
         )
     else:

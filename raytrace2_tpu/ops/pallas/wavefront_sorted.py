@@ -175,34 +175,47 @@ def _interleave3(x):
     return x
 
 
-def sort_keys(state, n_samples, bb_lo, bb_hi):
+def sort_keys(state, n_samples, bb_lo, bb_hi, key_mode="pos"):
     """Coherence key per slot (small = do first, similar = same tile):
 
-    * alive rays: morton7(origin in scene bbox) << 3 | octant(d) — tiles
-      end up sharing origin cell (direction octant as tiebreak), which is
-      what makes the kernel's per-tile cluster AABB skips effective.
-    * dead, samples remaining: 2^25 + pid — regeneration groups by pixel
+    * alive rays (``key_mode``):
+      - "pos": morton7(origin in scene bbox) << 3 | octant(d) — tiles end
+        up sharing origin cell (direction octant as tiebreak), which is
+        what makes the kernel's per-tile cluster AABB skips effective.
+        Measured best on book2 (4.71 Mpaths/s vs 4.48 octant-major,
+        4.02 direction-major).
+      - "pos8": morton8(origin), no octant — finer cells, for sweeping
+        whether spatial resolution beats the direction tiebreak.
+      - "depth": bounce index major, morton7 minor — groups same-depth
+        rays so a tile's regen/depth mix narrows.
+      Every mode renders the IDENTICAL image (the sort is a permutation;
+      per-lane math is keyed by pixel id).
+    * dead, samples remaining: 2^28 + pid — regeneration groups by pixel
       adjacency, so fresh camera waves are frustum-coherent.
     * exhausted/padding: 2^30 — tail tiles hit the kernel's all-dead early
       exit and cost only the state round-trip.
     """
     alive = state["al"] > 0.0
     can_regen = (state["s_lane"] < n_samples - 1.0) & (state["pid"] >= 0.0)
-    inv = 127.0 / jnp.maximum(bb_hi - bb_lo, 1e-20)
+    bits = 8 if key_mode == "pos8" else 7
+    top = float((1 << bits) - 1)
+    inv = top / jnp.maximum(bb_hi - bb_lo, 1e-20)
     qs = []
     for axis, (o_key) in enumerate(("ox", "oy", "oz")):
-        q = jnp.clip((state[o_key] - bb_lo[axis]) * inv[axis], 0.0, 127.0)
+        q = jnp.clip((state[o_key] - bb_lo[axis]) * inv[axis], 0.0, top)
         qs.append(_interleave3(q.astype(jnp.uint32)))
     morton = qs[0] | (qs[1] << jnp.uint32(1)) | (qs[2] << jnp.uint32(2))
-    octant = ((state["dx"] < 0).astype(jnp.uint32) * jnp.uint32(4)
-              | (state["dy"] < 0).astype(jnp.uint32) * jnp.uint32(2)
-              | (state["dz"] < 0).astype(jnp.uint32))
-    # Position-major (morton), direction octant as tiebreak: measured best
-    # on book2 (4.71 Mpaths/s vs 4.48 octant-major, 4.02 direction-major) —
-    # origin-cell agreement is what makes the per-tile cluster AABB tests
-    # conservative-yet-tight; direction matters only as a tiebreak.
-    akey = (morton << jnp.uint32(3)) | octant
-    rkey = jnp.uint32(1 << 25) + state["pid"].astype(jnp.int32).astype(jnp.uint32)
+    if key_mode == "pos8":
+        akey = morton  # 24 bits
+    elif key_mode == "depth":
+        akey = (state["bn"].astype(jnp.int32).astype(jnp.uint32)
+                << jnp.uint32(21)) | morton  # 6+21 bits
+    else:
+        octant = ((state["dx"] < 0).astype(jnp.uint32) * jnp.uint32(4)
+                  | (state["dy"] < 0).astype(jnp.uint32) * jnp.uint32(2)
+                  | (state["dz"] < 0).astype(jnp.uint32))
+        akey = (morton << jnp.uint32(3)) | octant  # 24 bits
+    rkey = jnp.uint32(1 << 28) + state["pid"].astype(jnp.int32).astype(jnp.uint32)
     key = jnp.where(alive, akey, jnp.where(can_regen, rkey, jnp.uint32(1 << 30)))
     return key.astype(jnp.int32)  # lax.sort of i32 is cheapest
 
@@ -210,13 +223,14 @@ def sort_keys(state, n_samples, bb_lo, bb_hi):
 @functools.partial(
     jax.jit,
     static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
-                     "sizes", "interpret", "sublanes", "sort_every", "k_bounces"),
+                     "sizes", "interpret", "sublanes", "sort_every",
+                     "k_bounces", "key_mode"),
 )
 def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                           max_depth, has_checker, has_noise=False,
                           sizes=None, interpret=False,
                           sublanes=SORT_SUBLANES, sort_every=1,
-                          k_bounces=1, ntab=None):
+                          k_bounces=1, ntab=None, key_mode="pos"):
     """Drop-in for megakernel.trace_megakernel_batch (linear slot layout
     ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3]."""
     tile_r = sublanes * mk.LANES
@@ -339,7 +353,7 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
             # multi-array gather inside while_loop to a slow serialized
             # form (~60 ms/step measured); the packed row gather runs at
             # HBM bandwidth (~0.05 ms).
-            keys = sort_keys(state, n_samples, bb_lo, bb_hi)
+            keys = sort_keys(state, n_samples, bb_lo, bb_hi, key_mode)
             perm = jnp.argsort(keys)
             packed = jnp.stack([state[k] for k in _STATE_KEYS], axis=1)
             packed = packed[perm]

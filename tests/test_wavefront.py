@@ -37,6 +37,18 @@ def test_wavefront_bitwise_equals_v4_cornell(data_dir, k_bounces, sort_every):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("key_mode", ["pos8", "depth"])
+def test_wavefront_key_modes_bitwise(data_dir, key_mode):
+    """Every sort-key mode is a pure permutation — images stay bitwise
+    equal to v4 (only throughput may differ on-chip)."""
+    scene_host, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
+    scene = schema.to_device(scene_host)
+    a = _render(scene_host, scene, 24, 16, 2, 6, **V4_KW)
+    b = _render(scene_host, scene, 24, 16, 2, 6, mega_wavefront=True,
+                mega_sort_key=key_mode)
+    np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.slow
 def test_wavefront_bitwise_equals_v4_book2(data_dir):
     """Full feature surface: boxes, media, noise, moving sphere, lights."""
