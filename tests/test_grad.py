@@ -278,6 +278,7 @@ def _masked_fd_check(f_img, eps, label, rel=5e-2, min_keep=0.6):
         ("center", (0,), 2e-3),
         ("center", (2,), 2e-3),
         ("look_at", (1,), 2e-3),
+        ("vup", (0,), 2e-3),
         ("defocus_angle", (), 2e-2),
         ("focus_dist", (), 2e-3),
     ],
