@@ -212,7 +212,8 @@ def main(argv=None) -> int:
                 mtime = watch_mtime  # mid-swap; retry next iteration
             if mtime != watch_mtime:
                 try:
-                    new_scene, _ = loader.load_scene(scene_path, seed=args.seed)
+                    new_scene, new_dims = loader.load_scene(
+                        scene_path, seed=args.seed)
                     if args.camera:
                         import dataclasses
 
@@ -225,6 +226,13 @@ def main(argv=None) -> int:
                     log(f"Scene reload failed (keeping current): {e}")
                 else:
                     watch_mtime = mtime
+                    # Honor the edited file's dims unless the CLI pinned a
+                    # size (accumulation restarts either way, so a
+                    # resolution edit is free — the reference's resize
+                    # path, RayTracer.cpp:87-104).
+                    if new_dims and not (args.width or args.height):
+                        width, height = new_dims
+                        rays_per_sample = width * height
                     renderer = Renderer(
                         new_scene, width, height,
                         num_samples=settings["num_samples"],

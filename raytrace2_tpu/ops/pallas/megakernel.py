@@ -102,6 +102,19 @@ def _cluster_tables(tbl, lo, hi, act_mask, cluster, super_):
     cl_hi = hi.reshape(n_cl, cluster, 3).max(axis=1)
     sb_lo = lo.reshape(n_l2, super_, 3).min(axis=1)
     sb_hi = hi.reshape(n_l2, super_, 3).max(axis=1)
+
+    def _degenerate_empty(b_lo, b_hi):
+        # Fully-padded clusters come out INVERTED (lo=+BIG, hi=-BIG), and an
+        # inverted box does NOT fail the slab test: could_hit min/maxes the
+        # two plane distances per axis, so the interval becomes (-inf, inf)
+        # and the empty cluster is descended every bounce. Collapse them to
+        # a degenerate point (lo == hi == BIG): t0 == t1 exactly, and the
+        # strict `t1 > max(t0, t_min)` fails — empty clusters really skip.
+        empty = b_hi[:, :1] < b_lo[:, :1]
+        return jnp.where(empty, BIG, b_lo), jnp.where(empty, BIG, b_hi)
+
+    cl_lo, cl_hi = _degenerate_empty(cl_lo, cl_hi)
+    sb_lo, sb_hi = _degenerate_empty(sb_lo, sb_hi)
     for axis, name in enumerate("xyz"):
         tbl["cb" + name + "0"] = cl_lo[:, axis]
         tbl["cb" + name + "1"] = cl_hi[:, axis]

@@ -118,18 +118,11 @@ def murmur_uniforms(mega_seed, pixel_ids, ctrs):
       pixel_ids: [N] i32; ctrs: tuple of static ints (draw counters).
     Returns [N, len(ctrs)] f32.
     """
-    slot = pixel_ids.astype(jnp.uint32)
-    key = murmur_mix(
-        slot * jnp.uint32(0x9E3779B9)
-        ^ murmur_mix(jnp.asarray(mega_seed).astype(jnp.uint32))
-    )
-    cols = []
-    for c in ctrs:
-        bits = murmur_mix(
-            key ^ murmur_mix(jnp.uint32(c) * jnp.uint32(0x9E3779B9) + jnp.uint32(1))
-        )
-        cols.append((bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24)))
-    return jnp.stack(cols, axis=-1)
+    # Delegate to the traced-counter form: the construction is parity-
+    # critical with the kernel (v4_sample_key/cam_draw) and must live in
+    # exactly one place. `c.astype(uint32)` of a static int equals
+    # `jnp.uint32(c)` bit-for-bit.
+    return murmur_uniforms_at(mega_seed, pixel_ids, ctrs)
 
 
 def murmur_uniforms_at(mega_seed, pixel_ids, ctrs):

@@ -562,18 +562,20 @@ def _morton3(p: np.ndarray, bits: int = 10) -> np.ndarray:
     return code
 
 
-def _kd_order(p: np.ndarray, align: int = 16) -> np.ndarray:
+def _kd_order(p: np.ndarray, align: int = 16, block: int = 128) -> np.ndarray:
     """Balanced kd-tree ordering for [N,3] points: recursively split on the
-    widest axis at a split point rounded to a multiple of ``align``.
+    widest axis at a split point rounded to the LARGEST granularity the
+    kernel tests at that level — ``block`` (128-record superclusters) while
+    the segment exceeds it, falling to ``align`` (16-record clusters) below.
 
     This is the host-side BVH build the megakernel's cluster hierarchy rides
     on (the reference builds its BVH the same median-split-on-longest-axis
-    way, src/cpu_raytrace/BVH.cpp:10-31): because every split lands on an
-    ``align`` boundary, every aligned block of ``align`` (and of any larger
-    power-of-two multiple) in the final order is a contiguous kd-cell —
-    spatially tight at ALL the granularities the kernel tests (16-record
-    clusters and 128-record superclusters), which Morton chunking only
-    approximates."""
+    way, src/cpu_raytrace/BVH.cpp:10-31). Rounding to ``align`` alone is NOT
+    enough for the superclusters: a split at e.g. 496 (multiple of 16, not
+    of 128) makes the supercluster [384,512) straddle two disjoint kd cells
+    and its AABB balloon, so _hier_sweep's L2 skips stop firing. With
+    block-granular splits above ``block``, every aligned 128-block AND every
+    aligned 16-block is one contiguous kd cell."""
     order = np.arange(len(p), dtype=np.int64)
 
     def rec(ids):
@@ -583,7 +585,10 @@ def _kd_order(p: np.ndarray, align: int = 16) -> np.ndarray:
         ext = p[ids].max(0) - p[ids].min(0)
         axis = int(np.argmax(ext))
         ids = ids[np.argsort(p[ids, axis], kind="stable")]
-        k = max(align, min(n - 1, round(n / 2 / align) * align))
+        unit = align
+        while unit * 2 <= block and unit * 2 < n:
+            unit *= 2
+        k = max(unit, min(round(n / 2 / unit) * unit, (n - 1) // unit * unit))
         if k >= n:
             k = (n - 1) // align * align or align
         return np.concatenate([rec(ids[:k]), rec(ids[k:])])

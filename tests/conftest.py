@@ -19,10 +19,16 @@ import pytest  # noqa: E402
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu" and len(jax.devices()) == 8, (
-    "tests must run on the 8-device virtual CPU mesh, got "
-    f"{jax.default_backend()} x{len(jax.devices())}"
+assert jax.default_backend() == "cpu", (
+    f"tests must run on the virtual CPU mesh, got {jax.default_backend()}"
 )
+# Device-count check only when WE set the flag — a pre-existing
+# xla_force_host_platform_device_count is deliberately respected above
+# (sharding tests adapt to jax.device_count()).
+if "xla_force_host_platform_device_count" not in flags:
+    assert len(jax.devices()) == 8, (
+        f"expected the 8-device virtual mesh, got x{len(jax.devices())}"
+    )
 
 # Persistent compilation cache: the suite's cost is dominated by jit
 # compiles (9m+ cold); cached recompiles cut reruns to ~2 min. CPU-only

@@ -36,7 +36,7 @@ _WORKER = textwrap.dedent("""
 
     from raytrace2_tpu.parallel import sharding
 
-    mesh = sharding.make_mesh(sp=2)  # 2x4 over the 8 GLOBAL devices
+    mesh = sharding.make_mesh(sp=2)  # 2x2 over the 4 GLOBAL devices
 
     @jax.jit
     def global_sum():
@@ -64,14 +64,13 @@ def _free_port():
     return port
 
 
-def test_two_process_runtime(tmp_path):
-    port = _free_port()
+def _launch(port):
     procs = []
     for rank in range(2):
         env = dict(
             os.environ,
             JAX_PLATFORMS="cpu",
-            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(rank),
@@ -82,19 +81,33 @@ def test_two_process_runtime(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env,
         ))
-    results = {}
-    for rank, p in enumerate(procs):
-        # Generous: the workers compile on a host the rest of the suite may
-        # be saturating (measured 5 s idle, minutes under full-suite load).
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"rank {rank} failed:\n{err[-2000:]}"
-        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
-        assert line, out
-        results[rank] = json.loads(line[0][len("RESULT "):])
+    return procs
+
+
+def test_two_process_runtime(tmp_path):
+    # One retry with a fresh coordinator port: the rendezvous can time out
+    # when a loaded host starves worker startup (measured 5 s idle).
+    for attempt in range(2):
+        procs = _launch(_free_port())
+        results, err_text = {}, None
+        try:
+            for rank, p in enumerate(procs):
+                out, err = p.communicate(timeout=600)
+                assert p.returncode == 0, f"rank {rank} failed:\n{err[-2000:]}"
+                line = [ln for ln in out.splitlines()
+                        if ln.startswith("RESULT ")]
+                assert line, out
+                results[rank] = json.loads(line[0][len("RESULT "):])
+            break
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            if attempt == 1:
+                raise
 
     for rank, r in results.items():
         assert r["pid"] == rank
         assert r["primary"] == (rank == 0)
-        assert r["local_devices"] == 4
-        assert r["global_devices"] == 8
-        assert r["psum"] == 8.0  # the cross-process collective really ran
+        assert r["local_devices"] == 2
+        assert r["global_devices"] == 4
+        assert r["psum"] == 4.0  # the cross-process collective really ran

@@ -127,7 +127,18 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     scene_host, _ = loader.load_scene(args.scene, seed=args.seed)
-    features = tuple(sorted(scene_host.features().items()))
+    feat = scene_host.features()
+    # Route qualifying scenes through the Pallas custom-VJP path on
+    # accelerators (grad.render_image applies the gradient-kernel gates on
+    # top; Renderer.__post_init__ applies the same eligibility rule).
+    from raytrace2_tpu.ops.pallas import megakernel as mk
+
+    ms = feat["mega_sizes"]
+    feat["use_megakernel"] = (
+        jax.default_backend() not in ("cpu",)
+        and ms[0] + ms[1] + ms[4] + ms[5] <= mk.MAX_SMEM_RECORDS
+    )
+    features = tuple(sorted(feat.items()))
     scene = schema.to_device(scene_host)
     render_kw = dict(width=args.width, height=args.height,
                      n_samples=args.samples, max_depth=args.depth,
