@@ -1,0 +1,86 @@
+"""On-chip tuning sweep for the sorted-wavefront kernel (big scenes).
+
+Sweeps the pure-scheduling knobs (sort key mode, bounces per launch, sort
+cadence, tile sublanes) on a given scene and reports Mpaths/s per config.
+Every config renders the bitwise-identical image (the knobs only permute
+work), so the sweep needs no correctness check beyond the mean printed for
+eyeballing.
+
+Usage:  python tools/sweep_wavefront.py [scene.json] [--spp 8] [--res 600]
+Reference workload: data/book2_final_scene_10000_samples.json
+(/root/reference, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene", nargs="?",
+                    default="/root/reference/data/"
+                            "book2_final_scene_10000_samples.json")
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--res", type=int, default=600)
+    ap.add_argument("--keys", default="pos,pos8,depth")
+    ap.add_argument("--kb", default="8,16,32")
+    ap.add_argument("--sort-every", default="1,2")
+    ap.add_argument("--sublanes", default="8")
+    ap.add_argument("--out", default=None, help="JSONL results file")
+    ap.add_argument("--interpret", action="store_true",
+                    help="Pallas interpret mode (CPU smoke test only)")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from raytrace2_tpu.scene import loader, schema
+    from raytrace2_tpu.ops import integrator
+    from raytrace2_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    scene_host, _dims = loader.load_scene(args.scene)
+    scene = schema.to_device(scene_host)
+    W = H = args.res
+    base = dict(scene_host.features(), use_megakernel=True,
+                mega_wavefront=True, mega_interpret=args.interpret)
+
+    def run(feat, spp):
+        r = integrator.render_progressive(
+            scene, feat, W, H, jnp.int32(0), jnp.int32(spp), 0, 50, 10)
+        return np.asarray(r)
+
+    combos = list(itertools.product(
+        args.keys.split(","),
+        [int(x) for x in args.kb.split(",")],
+        [int(x) for x in args.sort_every.split(",")],
+        [int(x) for x in args.sublanes.split(",")],
+    ))
+    results = []
+    for key_mode, kb, se, sl in combos:
+        feat = dict(base, mega_sort_key=key_mode, mega_k_bounces=kb,
+                    mega_sort_every=se, mega_sublanes=sl)
+        run(feat, 1)  # compile
+        t0 = time.perf_counter()
+        r = run(feat, args.spp)
+        dt = time.perf_counter() - t0
+        mps = args.spp * W * H / dt / 1e6
+        rec = {"key": key_mode, "k_bounces": kb, "sort_every": se,
+               "sublanes": sl, "mpaths_s": round(mps, 3),
+               "mean": float(r.mean() / args.spp)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    best = max(results, key=lambda r: r["mpaths_s"])
+    print("BEST:", json.dumps(best))
+
+
+if __name__ == "__main__":
+    main()
