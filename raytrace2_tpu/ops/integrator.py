@@ -354,7 +354,7 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
 
     n_total = width * height
     sublanes, wave_frac, linear, wavefront = mega_schedule(features)
-    tile_r, block = mk.tile_block(sublanes)
+    tile_r, block = mk.tile_block(sublanes, linear)
     n_slots, slot_of_pixel = mk.pixel_slots(width, height, sublanes, linear)
     n = n_local if n_local is not None else n_slots  # lanes this shard runs
     n_pad = ((n + tile_r - 1) // tile_r) * tile_r

@@ -1318,11 +1318,15 @@ def slot_to_pixel(slot_f, camv, *, tile_r, block, linear_slots):
     return xx, yy, (xx < width) & (yy < height)
 
 
-def tile_block(sublanes: int):
-    """(tile_r, block) for a given sublane count; tiles are square pixel
-    blocks (8x128 lanes -> 32x32 pixels, 32x128 -> 64x64)."""
+def tile_block(sublanes: int, linear: bool = False):
+    """(tile_r, block) for a given sublane count; block-tiled layouts need
+    square pixel blocks (8x128 lanes -> 32x32 pixels, 32x128 -> 64x64).
+    Linear layouts (slot == pixel id; the wavefront kernel) have no pixel
+    block, so any sublane count is valid and block is returned as 1."""
     tile_r = sublanes * LANES
     block = int(tile_r ** 0.5)
+    if linear:
+        return tile_r, max(block, 1)
     assert block * block == tile_r, sublanes
     return tile_r, block
 
@@ -1335,7 +1339,7 @@ def pixel_slots(width: int, height: int, sublanes: int = SUBLANES,
     the final tile. Block-tiled (cluster scenes): square pixel blocks per
     tile; edge blocks carry idle out-of-image lanes (~10% on 600²), paid
     only where the coherence actually buys sweep skips."""
-    tile_r, block = tile_block(sublanes)
+    tile_r, block = tile_block(sublanes, linear)
     if linear:
         n_pix = width * height
         n_slots = -(-n_pix // tile_r) * tile_r
@@ -1357,7 +1361,7 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
     (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs) = refs_in
     out_rr, out_rg, out_rb = refs_out
     shape = (sublanes, LANES)
-    tile_r, block = tile_block(sublanes)
+    tile_r, block = tile_block(sublanes, linear_slots)
 
     slot_i = (
         pl.program_id(0) * tile_r
@@ -1467,7 +1471,7 @@ def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
     pixel_slots). ``ntab``: optional packed Perlin tables
     (pack_noise_tables) switching the kernel to table-Perlin mode.
     Returns radiance-sum [n_rays, 3]."""
-    tile_r, _ = tile_block(sublanes)
+    tile_r, _ = tile_block(sublanes, linear_slots)
     assert n_rays % tile_r == 0
     rows = n_rays // LANES
     sph, qd, boxes, med, mats, texs = tables

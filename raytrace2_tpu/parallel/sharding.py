@@ -133,7 +133,7 @@ def render_samples_sharded_mega(scene, features, sample0, seed, *, width,
     # kernel masks out-of-image lanes itself and RNG streams are keyed by
     # global pixel id, so any dp split renders bitwise-identically.
     sublanes, _, linear, _ = mega_schedule(features)
-    tile_r, _ = mk.tile_block(sublanes)
+    tile_r, _ = mk.tile_block(sublanes, linear)
     n_slots, slot_of_pixel = mk.pixel_slots(width, height, sublanes, linear)
     chunk = -(-n_slots // (dp * tile_r)) * tile_r
     pix0_arr = jnp.arange(dp, dtype=jnp.int32) * chunk

@@ -49,6 +49,18 @@ def test_wavefront_key_modes_bitwise(data_dir, key_mode):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("sublanes", [1, 2, 4])
+def test_wavefront_sublanes_bitwise(data_dir, sublanes):
+    """Tile height is pure scheduling: smaller tiles sharpen the per-tile
+    cluster skip (fewer lanes must agree) but never change the image."""
+    scene_host, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
+    scene = schema.to_device(scene_host)
+    a = _render(scene_host, scene, 24, 16, 2, 6, **V4_KW)
+    b = _render(scene_host, scene, 24, 16, 2, 6, mega_wavefront=True,
+                mega_sublanes=sublanes)
+    np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.slow
 def test_wavefront_bitwise_equals_v4_book2(data_dir):
     """Full feature surface: boxes, media, noise, moving sphere, lights."""
