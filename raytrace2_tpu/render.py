@@ -89,6 +89,10 @@ class Renderer:
     seed: int = 0
     chunk_size: int | None = 65536
     backend: str = "auto"  # 'auto' | 'pallas' | 'xla' intersection backend
+    # Record-count ceiling for megakernel eligibility. None = the measured
+    # SMEM-safe default (megakernel.MAX_SMEM_RECORDS); raise to probe how
+    # far the packed tables actually fit on a given chip generation.
+    max_records: int | None = None
     _features: tuple = ()
     _state: RenderState | None = None
 
@@ -102,7 +106,9 @@ class Renderer:
 
         ms = features["mega_sizes"]
         n_records = ms[0] + ms[1] + ms[4] + ms[5]  # spheres+plain quads+media+boxes
-        eligible = n_records <= mk.MAX_SMEM_RECORDS
+        ceiling = (mk.MAX_SMEM_RECORDS if self.max_records is None
+                   else self.max_records)
+        eligible = n_records <= ceiling
         features["use_megakernel"] = self.backend == "mega" or (
             self.backend == "auto"
             and eligible

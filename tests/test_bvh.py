@@ -334,3 +334,22 @@ def test_scenes_beyond_smem_limit_use_bvh_fallback():
     np.testing.assert_allclose(
         img_a[~flipped], img_d[~flipped], rtol=1e-4, atol=1e-5)
     assert abs(img_a.mean() - img_d.mean()) < 0.01
+
+
+def test_max_records_override_routes_to_megakernel(data_dir, monkeypatch):
+    """Renderer(max_records=...) raises the megakernel eligibility ceiling
+    (for probing how far the packed SMEM tables fit on a chip generation)
+    without touching the measured default."""
+    from raytrace2_tpu import render as render_mod
+    from raytrace2_tpu.ops.pallas import megakernel as mk
+    from raytrace2_tpu.scene import loader
+
+    scene, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
+    monkeypatch.setattr(render_mod.jax, "default_backend", lambda: "tpu")
+    kw = dict(width=16, height=12, num_samples=1, max_depth=4, seed=0)
+    r = render_mod.Renderer(scene=scene, backend="auto", **kw)
+    assert dict(r._features)["use_megakernel"]  # 16 records, eligible
+    r2 = render_mod.Renderer(scene=scene, backend="auto", max_records=8,
+                             **kw)
+    assert not dict(r2._features)["use_megakernel"]  # ceiling lowered
+    assert mk.MAX_SMEM_RECORDS == 4096  # default untouched
