@@ -158,3 +158,35 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("sp,dp", [(1, 8), (2, 4)])
+def test_sharded_wavefront_matches_single_device(cornell, sp, dp):
+    """Sorted-wavefront kernel under shard_map: each device sorts and
+    traces its own pixel-tile shard; per-lane math is keyed by global
+    pixel id, so dp-only stays bitwise equal to the single-device
+    wavefront render (sp>1 reorders the sample psum: f32 tolerance)."""
+    scene, features = cornell
+    feat = dict(features, use_megakernel=True, mega_interpret=True,
+                mega_wavefront=True, mega_k_bounces=4)
+
+    w = h = 16
+    single = np.asarray(
+        jax.jit(
+            lambda s: integrator.render_progressive(
+                s, feat, w, h, jnp.int32(0), jnp.int32(4), 0, 5, 2
+            )
+        )(scene)
+    )
+    mesh = sharding.make_mesh(sp=sp, dp=dp)
+    shard = np.asarray(
+        sharding.render_samples_sharded_mega(
+            scene, tuple(sorted(feat.items())), jnp.int32(0), 0,
+            width=w, height=h, max_depth=5, sqrt_spp=2,
+            samples_per_device=4 // sp, mesh=mesh,
+        )
+    )
+    if sp == 1:
+        assert np.array_equal(shard, single), "dp-only layout must be bitwise"
+    else:
+        np.testing.assert_allclose(shard, single, rtol=1e-5, atol=1e-6)
