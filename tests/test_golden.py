@@ -31,7 +31,11 @@ def test_cornell_matches_reference_screenshot(data_dir, tmp_path):
     ours_small = compare.downsample(ours, size // 15)[:15, :15]
 
     p = compare.psnr(ours_small, golden_small)
-    assert p > 17.0, f"PSNR {p:.1f} dB vs reference screenshot"
+    # Measured 25.8 dB at 64 spp; the slack covers MC noise across seeds.
+    # The tight (>40 dB) gates are the cross-backend goldens below — the
+    # screenshot itself is a ~120-spp capture (renders/
+    # screenshot_grain_analysis.json), so its own grain bounds this one.
+    assert p > 22.0, f"PSNR {p:.1f} dB vs reference screenshot"
 
     # Wall hue check: left third greener than red, right third redder.
     left = ours_small[5:10, 0:4].mean((0, 1))
