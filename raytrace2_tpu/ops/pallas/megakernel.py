@@ -64,7 +64,8 @@ MAX_SMEM_RECORDS = 4096
 # fan-out instead of a binary walk because TPU tiles are 4096 rays wide and
 # descend/skip decisions are taken per tile (scalar branch), not per ray.
 _CLUSTER_AABB_KEYS = ("cbx0", "cby0", "cbz0", "cbx1", "cby1", "cbz1",
-                      "sbx0", "sby0", "sbz0", "sbx1", "sby1", "sbz1", "ord")
+                      "sbx0", "sby0", "sbz0", "sbx1", "sby1", "sbz1",
+                      "ord", "lord")
 _SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat", "act",
              ) + _CLUSTER_AABB_KEYS
 SPH_CLUSTER = 16   # spheres per L1 cluster
@@ -127,6 +128,22 @@ def _cluster_tables(tbl, lo, hi, act_mask, cluster, super_):
         orders.append(asc)
         orders.append(asc[::-1])
     tbl["ord"] = jnp.concatenate(orders).astype(jnp.float32)
+    # lord: front-to-back L1 visit order WITHIN each supercluster, same six
+    # directions — entry [dir*n_cl + s*ratio + j] is the GLOBAL cluster id
+    # visited j-th inside super s, ascending/descending centroid per axis.
+    # best_t then tightens in visit order inside a super too, so later
+    # cluster `t0 < best` skips fire sooner. (Empty padded clusters have
+    # centroid BIG: they sort to an end, and their degenerate AABB fails
+    # the slab test wherever they land.)
+    ccen = (cl_lo + cl_hi) * 0.5  # [n_cl, 3]
+    ratio = super_ // cluster
+    base = (jnp.arange(n_l2) * ratio)[:, None]
+    lorders = []
+    for axis in range(3):
+        asc_local = jnp.argsort(ccen[:, axis].reshape(n_l2, ratio), axis=1)
+        lorders.append((base + asc_local).reshape(-1))
+        lorders.append((base + asc_local[:, ::-1]).reshape(-1))
+    tbl["lord"] = jnp.concatenate(lorders).astype(jnp.float32)
 
 
 def pack_tables(scene, sizes):
@@ -344,7 +361,9 @@ def _hier_sweep(tbl, body_fn, rec, alive, ox, oy, oz, invx, invy, invz,
 
         def descend(rec):
             def l1_in_super(j, rec):
-                return l1_body(c2 * ratio + j, rec)
+                c1 = tbl["lord"][dir_idx * n_cl + c2 * ratio + j
+                                 ].astype(jnp.int32)
+                return l1_body(c1, rec)
             return jax.lax.fori_loop(0, ratio, l1_in_super, rec)
 
         return jax.lax.cond(
