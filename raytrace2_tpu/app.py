@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append one JSON line of structured metrics per "
                         "dispatch (sample index, wall time, Mpaths/s, device "
                         "memory) plus a final summary record")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "bvh", "pallas", "mega",
+                            "wavefront"],
+                   help="intersection backend: auto (default) routes by "
+                        "scene and device; xla/bvh force the XLA path "
+                        "without/with the sphere BVH; mega forces the v4 "
+                        "megakernel; wavefront forces the sorted-wavefront "
+                        "megakernel")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -164,13 +172,14 @@ def main(argv=None) -> int:
     elif args.height:
         height = args.height
 
-    renderer = Renderer(
-        scene, width, height,
+    renderer_kw = dict(
         num_samples=settings["num_samples"],
         max_depth=settings["max_depth"],
         seed=args.seed,
         chunk_size=args.chunk_size or 65536,
+        backend=args.backend,
     )
+    renderer = Renderer(scene, width, height, **renderer_kw)
 
     if args.checkpoint and os.path.exists(args.checkpoint):
         state = ckpt_io.load_state(args.checkpoint)
@@ -234,12 +243,7 @@ def main(argv=None) -> int:
                         width, height = new_dims
                         rays_per_sample = width * height
                     renderer = Renderer(
-                        new_scene, width, height,
-                        num_samples=settings["num_samples"],
-                        max_depth=settings["max_depth"],
-                        seed=args.seed,
-                        chunk_size=args.chunk_size or 65536,
-                    )
+                        new_scene, width, height, **renderer_kw)
                     t0 = time.perf_counter()
                     done0 = 0
                     log(f"Scene reloaded: {scene_path} (accumulation reset)")

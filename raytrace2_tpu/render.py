@@ -109,11 +109,20 @@ class Renderer:
         ceiling = (mk.MAX_SMEM_RECORDS if self.max_records is None
                    else self.max_records)
         eligible = n_records <= ceiling
-        features["use_megakernel"] = self.backend == "mega" or (
+        features["use_megakernel"] = self.backend in ("mega", "wavefront") or (
             self.backend == "auto"
             and eligible
             and jax.default_backend() not in ("cpu",)
         )
+        if self.backend == "wavefront":
+            # Force the sorted-wavefront megakernel regardless of the
+            # record-count routing (integrator.mega_schedule) — the A/B
+            # lever for on-chip measurement through the real CLI.
+            features["mega_wavefront"] = True
+        if features["use_megakernel"] and jax.default_backend() == "cpu":
+            # Forced kernel backends stay drivable off-chip (slow but
+            # exact): Pallas interpret mode.
+            features["mega_interpret"] = True
         if self.chunk_size == 65536 and n_records > 1024:
             # Large-scene XLA fallback: smaller chunks keep the [chunk, P]
             # intersection intermediates cache-resident (measured 1.6x on
