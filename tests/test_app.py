@@ -163,3 +163,23 @@ def test_cli_metrics_jsonl(tmp_path):
     done = recs[-1]
     assert done["event"] == "done" and done["samples"] == 4
     assert done["output"] == str(out)
+
+
+def test_cli_backend_flag(tmp_path):
+    """--backend forces the intersection backend through the real CLI; the
+    kernel backends (mega/wavefront) run in interpret mode on CPU and
+    render the bitwise-identical image to each other (same counter-hash
+    streams), while xla uses its own threefry streams (same scene, other
+    draw)."""
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps(_scene_json()))
+    outs = {}
+    for backend in ("xla", "mega", "wavefront"):
+        out = tmp_path / f"out_{backend}.png"
+        rc = main([str(scene), str(out), "--samples", "2", "--depth", "4",
+                   "--quiet", "--backend", backend])
+        assert rc == 0
+        outs[backend] = image.decode_png(out.read_bytes())
+    assert np.array_equal(outs["mega"], outs["wavefront"])
+    assert abs(float(outs["mega"].mean()) - float(outs["xla"].mean())) < 20.0
+    assert outs["mega"].mean() > 10
