@@ -379,12 +379,33 @@ def _kf(k):
     return k.astype(jnp.float32) if hasattr(k, "astype") else jnp.float32(k)
 
 
-def _table_perlin(px, py, pz, base_i, p0, p1, p2, g0, g1, g2):
+def _ntab_gather(ntab, row, idx):
+    """Per-lane gather ``ntab[row, idx]`` for idx [s, LANES] int32 in
+    [0, T*256). Mosaic supports exactly one dynamic-gather form — 2-D
+    ``take_along_axis`` where operand, indices, and output share a shape
+    (tpu.dynamic_gather; a 1-D ``jnp.take`` fails to lower with "Only 2D
+    gather is supported") — so the flat table row is walked in LANES-wide
+    segments: broadcast each segment across the sublanes, lane-gather by
+    the low 7 index bits, select by segment id. 2T segments per lookup
+    (T = number of noise textures), all vectorized."""
+    col = jnp.bitwise_and(idx, LANES - 1)
+    seg = jnp.right_shift(idx, 7)
+    out = jnp.zeros(idx.shape, jnp.float32)
+    for r in range(ntab.shape[1] // LANES):
+        rowv = jnp.broadcast_to(
+            ntab[row:row + 1, r * LANES:(r + 1) * LANES], idx.shape)
+        g = jnp.take_along_axis(rowv, col, axis=1)
+        out = jnp.where(seg == r, g, out)
+    return out
+
+
+def _table_perlin(px, py, pz, base_i, ntab):
     """One octave of TABLE Perlin (the XLA path's exact function,
     ops/textures.perlin_noise / PerlinNoiseGen.cpp:66-88): per-lane gathers
-    from the packed [T*256] perm/grad rows (``jnp.take`` lowers to a lane
-    gather on TPU). ``base_i`` = nslot*256 selects the lane's texture's
-    table block; lattice coords are masked &255 like the reference."""
+    from the packed [8, T*256] perm/grad operand via ``_ntab_gather``
+    (rows 0-2 perm, 3-5 grad xyz). ``base_i`` = nslot*256 selects the
+    lane's texture's table block; lattice coords are masked &255 like the
+    reference."""
     fx = jnp.floor(px)
     fy = jnp.floor(py)
     fz = jnp.floor(pz)
@@ -397,11 +418,11 @@ def _table_perlin(px, py, pz, base_i, p0, p1, p2, g0, g1, g2):
     uu = u * u * (3.0 - 2.0 * u)
     vv = v * v * (3.0 - 2.0 * v)
     ww = w * w * (3.0 - 2.0 * w)
-    pxv = [jnp.take(p0, base_i + ((ix + di) & 255), axis=0).astype(jnp.int32)
+    pxv = [_ntab_gather(ntab, 0, base_i + ((ix + di) & 255)).astype(jnp.int32)
            for di in (0, 1)]
-    pyv = [jnp.take(p1, base_i + ((iy + dj) & 255), axis=0).astype(jnp.int32)
+    pyv = [_ntab_gather(ntab, 1, base_i + ((iy + dj) & 255)).astype(jnp.int32)
            for dj in (0, 1)]
-    pzv = [jnp.take(p2, base_i + ((iz + dk) & 255), axis=0).astype(jnp.int32)
+    pzv = [_ntab_gather(ntab, 2, base_i + ((iz + dk) & 255)).astype(jnp.int32)
            for dk in (0, 1)]
     accum = jnp.zeros_like(px)
     for di in (0, 1):
@@ -411,20 +432,20 @@ def _table_perlin(px, py, pz, base_i, p0, p1, p2, g0, g1, g2):
             for dk in (0, 1):
                 wk = dk * ww + (1 - dk) * (1.0 - ww)
                 gi = base_i + (pxv[di] ^ pyv[dj] ^ pzv[dk])
-                dot = (jnp.take(g0, gi, axis=0) * (u - di)
-                       + jnp.take(g1, gi, axis=0) * (v - dj)
-                       + jnp.take(g2, gi, axis=0) * (w - dk))
+                dot = (_ntab_gather(ntab, 3, gi) * (u - di)
+                       + _ntab_gather(ntab, 4, gi) * (v - dj)
+                       + _ntab_gather(ntab, 5, gi) * (w - dk))
                 accum = accum + wi * wj * wk * dot
     return accum
 
 
-def _table_turbulence(px, py, pz, base_i, rows, depth=7):
+def _table_turbulence(px, py, pz, base_i, ntab, depth=7):
     """|sum 0.5^k table_noise(2^k p)| (PerlinNoiseGen.cpp:52-64)."""
     accum = jnp.zeros_like(px)
     weight = 1.0
     sx, sy, sz = px, py, pz
     for _ in range(depth):
-        accum = accum + weight * _table_perlin(sx, sy, sz, base_i, *rows)
+        accum = accum + weight * _table_perlin(sx, sy, sz, base_i, ntab)
         weight *= 0.5
         sx, sy, sz = sx * 2.0, sy * 2.0, sz * 2.0
     return jnp.abs(accum)
@@ -801,17 +822,16 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                 # the packed VMEM operand — cross-backend noise goldens
                 # compare the same function. ntab is the [8, T*256] jnp
                 # array (callers materialize the ref before _make_bounce).
-                trows = tuple(ntab[i] for i in range(6))
                 base_i = t_nslot.astype(jnp.int32) * NOISE_TABLE_N
 
                 def _noise_factor():
                     marble = 0.5 * (1.0 + jnp.sin(
                         t_scale * npz + 10.0 * _table_turbulence(
-                            npx, npy, npz, base_i, trows)
+                            npx, npy, npz, base_i, ntab)
                     ))
                     perl = 0.5 * (1.0 + _table_perlin(
                         t_scale * npx, t_scale * npy, t_scale * npz,
-                        base_i, *trows
+                        base_i, ntab
                     ))
                     return jnp.where(
                         t_ntype == float(defs.NOISE_MARBLE), marble, perl

@@ -86,10 +86,12 @@ def _launch(port):
 
 def test_two_process_runtime(tmp_path):
     # One retry with a fresh coordinator port: the rendezvous can time out
-    # when a loaded host starves worker startup (measured 5 s idle).
+    # OR fail outright (nonzero worker exit) when a loaded host starves
+    # worker startup (measured 5 s idle; seen as a barrier timeout under a
+    # full parallel suite run).
     for attempt in range(2):
         procs = _launch(_free_port())
-        results, err_text = {}, None
+        results = {}
         try:
             for rank, p in enumerate(procs):
                 out, err = p.communicate(timeout=600)
@@ -99,7 +101,7 @@ def test_two_process_runtime(tmp_path):
                 assert line, out
                 results[rank] = json.loads(line[0][len("RESULT "):])
             break
-        except subprocess.TimeoutExpired:
+        except (subprocess.TimeoutExpired, AssertionError):
             for p in procs:
                 p.kill()
             if attempt == 1:

@@ -157,11 +157,11 @@ def test_table_perlin_matches_xla_path():
     rs = np.random.RandomState(11)
     pts = rs.uniform(-4, 4, (8, 128, 3)).astype(np.float32)
     px, py, pz = (jnp.asarray(pts[..., i]) for i in range(3))
-    rows = tuple(jnp.asarray(ntab[i]) for i in range(6))
+    ntab_j = jnp.asarray(ntab)
 
     for slot, row in ((0, 3), (1, 4)):
         base = jnp.full(px.shape, slot * mk.NOISE_TABLE_N, jnp.int32)
-        got = np.asarray(mk._table_perlin(px, py, pz, base, *rows))
+        got = np.asarray(mk._table_perlin(px, py, pz, base, ntab_j))
         want = np.asarray(tex_ops.perlin_noise(
             jnp.asarray(tex.perm), jnp.asarray(tex.grad),
             jnp.full((8 * 128,), row, jnp.int32),
