@@ -55,7 +55,12 @@ from raytrace2_tpu.ops.pallas import megakernel as mk
 _STATE_KEYS = ("s_lane", "pid", "bn", "al", "ox", "oy", "oz",
                "dx", "dy", "dz", "tm", "tpr", "tpg", "tpb",
                "rr", "rg", "rb")
-SORT_SUBLANES = 8  # [8,128] tiles: the sort provides coherence, not blocks
+# [24,128] tiles (3,072 rays): the sort provides coherence, not pixel
+# blocks. Taller tiles amortize the hierarchy sweep's per-tile scalar walk
+# (L2/L1 loop + cond branches) over more lanes; measured on book2 @ 32 spp:
+# 8→4.2-4.6, 16→5.6, 24→5.6-5.7, 32→5.0, 48→5.5 Mpaths/s. Override with
+# features mega_sublanes (any multiple of 8; images are bitwise invariant).
+SORT_SUBLANES = 24
 
 
 class _View:
