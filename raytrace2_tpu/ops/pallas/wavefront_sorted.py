@@ -225,30 +225,12 @@ def sort_keys(state, n_samples, bb_lo, bb_hi, key_mode="pos"):
     return key.astype(jnp.int32)  # lax.sort of i32 is cheapest
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
-                     "sizes", "interpret", "sublanes", "sort_every",
-                     "k_bounces", "key_mode"),
-)
-def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
-                          max_depth, has_checker, has_noise=False,
-                          sizes=None, interpret=False,
-                          sublanes=SORT_SUBLANES, sort_every=1,
-                          k_bounces=1, ntab=None, key_mode="pos"):
-    """Drop-in for megakernel.trace_megakernel_batch (linear slot layout
-    ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3]."""
-    tile_r = sublanes * mk.LANES
-    assert n_rays % tile_r == 0, (n_rays, tile_r)
+def scene_bounds(tables, sizes):
+    """(bb_lo, bb_hi) for the Morton cells, from the packed tables (active
+    records only; padded rows carry +-BIG cluster bounds, so use the record
+    arrays themselves)."""
     sph, qd, boxes, med, mats, texs = tables
     n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
-    grid = n_rays // tile_r
-    rows = n_rays // mk.LANES
-    n_samples = camv[22]
-
-    # Scene bounds for the Morton cells, from the packed tables (active
-    # records only; padded rows carry +-BIG cluster bounds, so use the
-    # record arrays themselves).
     los, his = [], []
     if n_sph:
         for ax in "xyz":
@@ -269,18 +251,14 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                       else los)
     bb_hi = jnp.stack([jnp.max(jnp.stack(his[i::3])) for i in range(3)] if k > 1
                       else his)
+    return bb_lo, bb_hi
 
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec((sublanes, mk.LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    kern_kw = dict(
-        max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
-        n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
-        has_noise=has_noise, sublanes=sublanes, k_bounces=k_bounces,
-    )
 
-    # Pack camv + background + every table field into ONE f32 SMEM operand
-    # (see _View). Offsets are compile-time constants.
+def pack_smem_operand(camv, background, tables):
+    """Pack camv + background + every table field into ONE f32 SMEM operand
+    (see _View). Returns (packed, offsets-per-family, len(camv)); offsets
+    are compile-time constants."""
+    sph, qd, boxes, med, mats, texs = tables
     fams = ((sph, mk._SPH_KEYS), (qd, mk._QUAD_KEYS), (boxes, mk._BOX_KEYS),
             (med, mk._MED_KEYS), (mats, mk._MAT_KEYS), (texs, mk._TEX_KEYS))
     pieces = [jnp.asarray(camv, jnp.float32).reshape(-1),
@@ -295,10 +273,21 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
             off += arr.shape[0]
             pieces.append(arr)
         offsets.append(fam_off)
-    packed = jnp.concatenate(pieces)
-    n_camv = int(jnp.asarray(camv).shape[0])
+    return jnp.concatenate(pieces), offsets, pieces[0].shape[0]
 
-    with_ntab = ntab is not None
+
+def build_step(offsets, n_camv, *, n_rays, sublanes, with_ntab, interpret,
+               kern_kw):
+    """The K-bounce pallas_call over the sorted state tiles.
+
+    Call as ``step(packed, seedi, [ntab,] *state_2d)`` with each state leaf
+    reshaped [rows, LANES]; returns the advanced 17-tuple."""
+    tile_r = sublanes * mk.LANES
+    grid = n_rays // tile_r
+    rows = n_rays // mk.LANES
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((sublanes, mk.LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
 
     def kern(packed_ref, seedi_ref, *rest):
         camv_v = _View(packed_ref, 0)
@@ -317,7 +306,7 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
 
     ntab_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] if with_ntab else [])
-    step = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[smem_spec] * 2 + ntab_specs + [ray_spec] * len(_STATE_KEYS),
@@ -331,18 +320,56 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
         ),
     )
 
-    camv = jnp.asarray(camv, jnp.float32)
-    seedi = jnp.asarray(seedi, jnp.int32).reshape(1)
 
+def init_wavefront_state(n_rays, camv):
+    """Fresh slot state: slot i == pixel camv[25]+i, all lanes dead with
+    s_lane=-1 so the first kernel step regenerates sample 0."""
     slot = jnp.arange(n_rays, dtype=jnp.float32) + camv[25]
     pid0 = jnp.where(slot < camv[20], slot, -1.0)
     zeros = jnp.zeros(n_rays, jnp.float32)
-    state = dict(
+    return dict(
         s_lane=jnp.full(n_rays, -1.0, jnp.float32), pid=pid0,
         bn=zeros, al=zeros, ox=zeros, oy=zeros, oz=zeros,
         dx=zeros, dy=zeros, dz=zeros, tm=zeros,
         tpr=zeros, tpg=zeros, tpb=zeros, rr=zeros, rg=zeros, rb=zeros,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
+                     "sizes", "interpret", "sublanes", "sort_every",
+                     "k_bounces", "key_mode"),
+)
+def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
+                          max_depth, has_checker, has_noise=False,
+                          sizes=None, interpret=False,
+                          sublanes=SORT_SUBLANES, sort_every=1,
+                          k_bounces=1, ntab=None, key_mode="pos"):
+    """Drop-in for megakernel.trace_megakernel_batch (linear slot layout
+    ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3]."""
+    tile_r = sublanes * mk.LANES
+    assert n_rays % tile_r == 0, (n_rays, tile_r)
+    sph, qd, boxes, med, mats, texs = tables
+    n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
+    rows = n_rays // mk.LANES
+    n_samples = camv[22]
+
+    bb_lo, bb_hi = scene_bounds(tables, sizes)
+    kern_kw = dict(
+        max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
+        n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
+        has_noise=has_noise, sublanes=sublanes, k_bounces=k_bounces,
+    )
+    packed, offsets, n_camv = pack_smem_operand(camv, background, tables)
+    with_ntab = ntab is not None
+    step = build_step(offsets, n_camv, n_rays=n_rays, sublanes=sublanes,
+                      with_ntab=with_ntab, interpret=interpret,
+                      kern_kw=kern_kw)
+
+    camv = jnp.asarray(camv, jnp.float32)
+    seedi = jnp.asarray(seedi, jnp.int32).reshape(1)
+    state = init_wavefront_state(n_rays, camv)
 
     def cond(carry):
         state, i = carry
