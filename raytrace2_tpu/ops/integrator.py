@@ -406,8 +406,10 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         radiance = wf.trace_wavefront_batch(
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
             sort_every=int(features.get("mega_sort_every", 1)),
-            k_bounces=int(features.get("mega_k_bounces", 16)),
+            k_bounces=int(features.get("mega_k_bounces", wf.K_BOUNCES)),
             key_mode=str(features.get("mega_sort_key", "pos")),
+            tail_k=int(features.get("mega_tail_k", wf.TAIL_K)),
+            tail_frac=float(features.get("mega_tail_frac", wf.TAIL_FRAC)),
             ntab=ntab, **kernel_kw,
         )
     else:

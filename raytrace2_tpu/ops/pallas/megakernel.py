@@ -451,6 +451,252 @@ def _table_turbulence(px, py, pz, base_i, ntab, depth=7):
     return jnp.abs(accum)
 
 
+def make_family_bodies(sph, qd, boxes, med, *, draw, tm, ox, oy, oz,
+                       dx, dy, dz, a, inv_a, bn, n_med, track_index=False):
+    """Per-family closest-hit body builders over SoA tables (the heart of
+    the sweep; reference intersections: Sphere.cpp:7-26, Quad.cpp:19-43,
+    AABB slab form, ConstantMedium.cpp:14-58).
+
+    ``rec`` = (best_t, fam, mat, p0, p1, p2, aux[, idx]): fam is 0 sphere /
+    1 quad|box / 2 medium; p0..p2 carry the winner's center|normal; aux the
+    sphere radius. ``track_index=True`` appends the winning record's
+    family-local index (the gradient replay resolves the winner's params
+    differentiably from it; megakernel_grad.py). Tables may be SMEM refs,
+    packed-operand views, or any mapping whose values index by the loop
+    counter — including per-lane gathered arrays via a constant accessor.
+    """
+    t_min = jnp.float32(float(defs.T_MIN))
+    quad_eps = jnp.float32(float(defs.QUAD_EPS))
+    draws_pb = 3 + n_med
+
+    def upd(rec, closer, vals):
+        out = tuple(jnp.where(closer, v, r) for v, r in zip(vals, rec[:7]))
+        if track_index:
+            p, idx = vals[7], rec[7]
+            out = out + (jnp.where(closer, _kf(p), idx),)
+        return out
+
+    def sph_body(p, rec):
+        best_t, fam, mat, r0_, r1_, r2_, aux = rec[:7]
+        cx = sph["c0x"][p] + tm * sph["dpx"][p]
+        cy = sph["c0y"][p] + tm * sph["dpy"][p]
+        cz = sph["c0z"][p] + tm * sph["dpz"][p]
+        ocx = cx - ox
+        ocy = cy - oy
+        ocz = cz - oz
+        h = dx * ocx + dy * ocy + dz * ocz
+        rad = sph["rad"][p]
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = h * h - a * cc
+        has = disc >= 0.0
+        # Double-where: sqrt'(0)=inf would turn masked-out lanes'
+        # zero cotangents into NaN under the replay vjp.
+        sq = jnp.where(has, jnp.sqrt(jnp.where(has, disc, 1.0)), 0.0)
+        root0 = (h - sq) * inv_a
+        root1 = (h + sq) * inv_a
+        ok0 = (root0 > t_min) & (root0 < best_t)
+        ok1 = (root1 > t_min) & (root1 < best_t)
+        root = jnp.where(ok0, root0, root1)
+        closer = has & (ok0 | ok1) & (sph["act"][p] > 0)
+        return upd(rec, closer, (root, 0.0, sph["mat"][p], cx, cy, cz, rad, p))
+
+    def quad_body(p, rec):
+        best_t, fam, mat, r0_, r1_, r2_, aux = rec[:7]
+        nx = qd["nx"][p]
+        ny = qd["ny"][p]
+        nz = qd["nz"][p]
+        nd = dx * nx + dy * ny + dz * nz
+        no = ox * nx + oy * ny + oz * nz
+        not_par = jnp.abs(nd) >= quad_eps
+        t = (qd["d"][p] - no) / jnp.where(not_par, nd, 1.0)
+        o_aa = ox * qd["aax"][p] + oy * qd["aay"][p] + oz * qd["aaz"][p]
+        d_aa = dx * qd["aax"][p] + dy * qd["aay"][p] + dz * qd["aaz"][p]
+        o_ab = ox * qd["abx"][p] + oy * qd["aby"][p] + oz * qd["abz"][p]
+        d_ab = dx * qd["abx"][p] + dy * qd["aby"][p] + dz * qd["abz"][p]
+        alpha = o_aa + t * d_aa - qd["qaa"][p]
+        beta = o_ab + t * d_ab - qd["qab"][p]
+        closer = (
+            not_par & (t >= t_min) & (t <= best_t)
+            & (alpha >= 0.0) & (alpha <= 1.0)
+            & (beta >= 0.0) & (beta <= 1.0)
+        )
+        return upd(rec, closer, (t, 1.0, qd["mat"][p], nx, ny, nz, rec[6], p))
+
+    # Axis-aligned boxes: slab test, ~5x cheaper than the 6-quad
+    # expansion (which still exists for the XLA path). Entry hit at t0
+    # with the entering face's outward normal, exit hit at t1 for rays
+    # starting inside — identical surfaces/records to the quad form.
+    inv_dx = _safe_inv(dx)
+    inv_dy = _safe_inv(dy)
+    inv_dz = _safe_inv(dz)
+
+    def box_body(b, rec):
+        best_t, fam, mat, r0_, r1_, r2_, aux = rec[:7]
+        tax = (boxes["x0"][b] - ox) * inv_dx
+        tbx = (boxes["x1"][b] - ox) * inv_dx
+        tay = (boxes["y0"][b] - oy) * inv_dy
+        tby = (boxes["y1"][b] - oy) * inv_dy
+        taz = (boxes["z0"][b] - oz) * inv_dz
+        tbz = (boxes["z1"][b] - oz) * inv_dz
+        lox = jnp.minimum(tax, tbx)
+        hix = jnp.maximum(tax, tbx)
+        loy = jnp.minimum(tay, tby)
+        hiy = jnp.maximum(tay, tby)
+        loz = jnp.minimum(taz, tbz)
+        hiz = jnp.maximum(taz, tbz)
+        t0 = jnp.maximum(lox, jnp.maximum(loy, loz))
+        t1 = jnp.minimum(hix, jnp.minimum(hiy, hiz))
+        enter = t0 >= t_min
+        t = jnp.where(enter, t0, t1)
+        closer = (t1 > t0) & (t > t_min) & (t < best_t) & (t1 > t_min)
+        # Face axis: which slab produced the chosen t. (No select
+        # between i1 vectors — Mosaic can't lower it.)
+        ax_x = (enter & (t0 == lox)) | (~enter & (t1 == hix))
+        ax_y = ((enter & (t0 == loy)) | (~enter & (t1 == hiy))) & ~ax_x
+        ax_z = ~ax_x & ~ax_y
+        sgn = jnp.where(enter, -1.0, 1.0)
+        nxb = jnp.where(ax_x, sgn * jnp.sign(dx), 0.0)
+        nyb = jnp.where(ax_y, sgn * jnp.sign(dy), 0.0)
+        nzb = jnp.where(ax_z, sgn * jnp.sign(dz), 0.0)
+        closer = closer & (boxes["act"][b] > 0)
+        return upd(rec, closer,
+                   (t, 1.0, boxes["mat"][b], nxb, nyb, nzb, rec[6], b))
+
+    # Constant media: analytic boundary entry/exit in model space +
+    # exponential free path (ConstantMedium.cpp:14-58; semantics match
+    # ops/intersect._media_ts).
+    def med_body(m, rec):
+        best_t, fam, mat, r0_, r1_, r2_, aux = rec[:7]
+        omx = med["i00"][m] * ox + med["i01"][m] * oy + med["i02"][m] * oz + med["i03"][m]
+        omy = med["i10"][m] * ox + med["i11"][m] * oy + med["i12"][m] * oz + med["i13"][m]
+        omz = med["i20"][m] * ox + med["i21"][m] * oy + med["i22"][m] * oz + med["i23"][m]
+        dmx_r = med["i00"][m] * dx + med["i01"][m] * dy + med["i02"][m] * dz
+        dmy_r = med["i10"][m] * dx + med["i11"][m] * dy + med["i12"][m] * dz
+        dmz_r = med["i20"][m] * dx + med["i21"][m] * dy + med["i22"][m] * dz
+        dm_len = jnp.sqrt(jnp.maximum(dmx_r * dmx_r + dmy_r * dmy_r + dmz_r * dmz_r, 1e-24))
+        dmx = dmx_r / dm_len
+        dmy = dmy_r / dm_len
+        dmz = dmz_r / dm_len
+
+        # Sphere boundary (moving center).
+        cx = med["p0x"][m] + tm * med["dspx"][m]
+        cy = med["p0y"][m] + tm * med["dspy"][m]
+        cz = med["p0z"][m] + tm * med["dspz"][m]
+        ocx = cx - omx
+        ocy = cy - omy
+        ocz = cz - omz
+        h = dmx * ocx + dmy * ocy + dmz * ocz
+        r = med["p1x"][m]
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = h * h - cc
+        s_valid = disc > 0.0
+        sq = jnp.where(s_valid, jnp.sqrt(jnp.where(s_valid, disc, 1.0)), 0.0)
+        s_t0 = h - sq
+        s_t1 = h + sq
+
+        # Box boundary (slabs, safe reciprocal).
+        def slab(dmc, omc, lo, hi):
+            d_safe = jnp.where(jnp.abs(dmc) < 1e-12,
+                               jnp.where(dmc < 0, -1e-12, 1e-12), dmc)
+            inv = 1.0 / d_safe
+            ta = (lo - omc) * inv
+            tb = (hi - omc) * inv
+            return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+        bx0, bx1 = slab(dmx, omx, med["p0x"][m], med["p1x"][m])
+        by0, by1 = slab(dmy, omy, med["p0y"][m], med["p1y"][m])
+        bz0, bz1 = slab(dmz, omz, med["p0z"][m], med["p1z"][m])
+        b_t0 = jnp.maximum(bx0, jnp.maximum(by0, bz0))
+        b_t1 = jnp.minimum(bx1, jnp.minimum(by1, bz1))
+        b_valid = b_t0 < b_t1
+
+        is_box = med["btype"][m] == float(defs.MEDIUM_BOX)
+        t0_ = jnp.where(is_box, b_t0, s_t0)
+        t1_ = jnp.where(is_box, b_t1, s_t1)
+        # Mosaic cannot select between i1 vectors; combine logically.
+        v = (is_box & b_valid) | (~is_box & s_valid)
+        v = v & (t1_ > t0_ + jnp.float32(float(defs.MEDIUM_EPS)))
+
+        d_len = jnp.sqrt(jnp.maximum(a, 1e-24))
+        scale = dm_len / d_len                       # model units per world t
+        e0 = jnp.maximum(jnp.maximum(t0_, t_min * scale), 0.0)
+        e1 = jnp.minimum(t1_, best_t * scale)
+        v = v & (e0 < e1)
+        u_m = draw(bn.astype(jnp.int32) * draws_pb + 3 + m)
+        hit_dist = med["nid"][m] * jnp.log(jnp.maximum(u_m, 1e-12))
+        v = v & (hit_dist <= (e1 - e0))
+        t_world = (e0 + hit_dist) / scale
+        return upd(rec, v,
+                   (t_world, 2.0, med["mat"][m], 1.0, 0.0, 0.0, rec[6], m))
+
+    return sph_body, quad_body, box_body, med_body
+
+
+def init_rec(shape, track_index=False):
+    """Fresh closest-hit record: no winner (fam -1, t BIG)."""
+    rec = (
+        jnp.full(shape, BIG), jnp.full(shape, -1.0), jnp.zeros(shape),
+        jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
+        jnp.ones(shape),
+    )
+    if track_index:
+        rec = rec + (jnp.full(shape, -1.0),)
+    return rec
+
+
+def _closest_hit(bodies, sph, boxes, *, alive, ox, oy, oz, dx, dy, dz,
+                 n_sph, n_quad, n_med, n_box, shape, loop, unroll_py,
+                 track_index=False):
+    """Full closest-hit: sweep every family (cluster-skip hierarchy for
+    spheres/boxes where built), returning the winning record."""
+    t_min = jnp.float32(float(defs.T_MIN))
+    sph_body, quad_body, box_body, med_body = bodies
+    rec = init_rec(shape, track_index)
+    # Dominant live-ray direction of this tile → which of the 6
+    # precomputed front-to-back supercluster orders to walk.
+    hier_sph = n_sph >= 2 * SPH_CLUSTER and not unroll_py
+    hier_box = n_box >= 2 * BOX_CLUSTER and not unroll_py
+    if hier_sph or hier_box:
+        sxa = jnp.sum(jnp.where(alive, dx, 0.0))
+        sya = jnp.sum(jnp.where(alive, dy, 0.0))
+        sza = jnp.sum(jnp.where(alive, dz, 0.0))
+        axa, aya, aza = jnp.abs(sxa), jnp.abs(sya), jnp.abs(sza)
+        is_x = (axa >= aya) & (axa >= aza)
+        is_y = (~is_x) & (aya >= aza)
+        dir_idx = jnp.where(
+            is_x, jnp.where(sxa >= 0, 0, 1),
+            jnp.where(is_y, jnp.where(sya >= 0, 2, 3),
+                      jnp.where(sza >= 0, 4, 5)),
+        ).astype(jnp.int32)
+    else:
+        dir_idx = jnp.int32(0)
+
+    if n_sph and not hier_sph:
+        rec = loop(n_sph, sph_body, rec, unroll=n_sph)
+    elif n_sph:
+        rec = _hier_sweep(
+            sph, sph_body, rec, alive, ox, oy, oz,
+            _safe_inv(dx), _safe_inv(dy), _safe_inv(dz),
+            t_min, n_sph, SPH_CLUSTER, SPH_SUPER, dir_idx,
+        )
+
+    rec = loop(n_quad, quad_body, rec,
+               unroll=n_quad if n_quad <= 64 else 1) if n_quad else rec
+
+    if n_box:
+        if not hier_box:
+            rec = jax.lax.fori_loop(0, n_box, box_body, rec, unroll=n_box)
+        else:
+            rec = _hier_sweep(
+                boxes, box_body, rec, alive, ox, oy, oz,
+                _safe_inv(dx), _safe_inv(dy), _safe_inv(dz),
+                t_min, n_box, BOX_CLUSTER, BOX_SUPER, dir_idx,
+            )
+
+    rec = loop(n_med, med_body, rec) if n_med else rec
+    return rec
+
+
 def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                  n_quad, n_med, n_mat, n_tex, n_box, has_checker, has_noise,
                  shape, unroll_py=False, ntab=None):
@@ -465,8 +711,6 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
     computation in trace order, so jax.vjp applies. Tables may then be
     dicts of Python lists of traced scalars (vjp inputs) instead of SMEM
     refs — the bodies only ever index them with the loop counter."""
-    t_min = jnp.float32(float(defs.T_MIN))
-    quad_eps = jnp.float32(float(defs.QUAD_EPS))
     max_depth_f = jnp.float32(max_depth)
 
     def loop(n, body, init, unroll=1):
@@ -483,7 +727,7 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
             bits = _mix(key ^ _mix(c * jnp.uint32(0x9E3779B9) + jnp.uint32(1)))
             return _uniform_from_bits(bits)
 
-        (bounce, alive_f, ox, oy, oz, dx, dy, dz,
+        (bn, alive_f, ox, oy, oz, dx, dy, dz,
          tpr, tpg, tpb, rr, rg, rb) = carry
         # alive_f already encodes the depth cap (folded in at update time).
         alive = alive_f > 0.0
@@ -491,258 +735,16 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
 
-        # ---- closest hit: scalar sweep, record carried under the mask ----
-        # rec: best_t, fam(0 sphere/1 quad as f32), mat, p0..p2 (center|normal), aux(radius)
-        def sph_body(p, rec):
-            best_t, fam, mat, r0_, r1_, r2_, aux = rec
-            cx = sph["c0x"][p] + tm * sph["dpx"][p]
-            cy = sph["c0y"][p] + tm * sph["dpy"][p]
-            cz = sph["c0z"][p] + tm * sph["dpz"][p]
-            ocx = cx - ox
-            ocy = cy - oy
-            ocz = cz - oz
-            h = dx * ocx + dy * ocy + dz * ocz
-            rad = sph["rad"][p]
-            cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-            disc = h * h - a * cc
-            has = disc >= 0.0
-            # Double-where: sqrt'(0)=inf would turn masked-out lanes'
-            # zero cotangents into NaN under the replay vjp.
-            sq = jnp.where(has, jnp.sqrt(jnp.where(has, disc, 1.0)), 0.0)
-            root0 = (h - sq) * inv_a
-            root1 = (h + sq) * inv_a
-            ok0 = (root0 > t_min) & (root0 < best_t)
-            ok1 = (root1 > t_min) & (root1 < best_t)
-            root = jnp.where(ok0, root0, root1)
-            closer = has & (ok0 | ok1) & (sph["act"][p] > 0)
-            return (
-                jnp.where(closer, root, best_t),
-                jnp.where(closer, 0.0, fam),
-                jnp.where(closer, sph["mat"][p], mat),
-                jnp.where(closer, cx, r0_),
-                jnp.where(closer, cy, r1_),
-                jnp.where(closer, cz, r2_),
-                jnp.where(closer, rad, aux),
-            )
-
-        rec = (
-            jnp.full(shape, BIG), jnp.full(shape, -1.0), jnp.zeros(shape),
-            jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
-            jnp.ones(shape),
+        bodies = make_family_bodies(
+            sph, qd, boxes, med, draw=draw, tm=tm, ox=ox, oy=oy, oz=oz,
+            dx=dx, dy=dy, dz=dz, a=a, inv_a=inv_a, bn=bn, n_med=n_med,
         )
-        # Dominant live-ray direction of this tile → which of the 6
-        # precomputed front-to-back supercluster orders to walk.
-        hier_sph = n_sph >= 2 * SPH_CLUSTER and not unroll_py
-        hier_box = n_box >= 2 * BOX_CLUSTER and not unroll_py
-        if hier_sph or hier_box:
-            sxa = jnp.sum(jnp.where(alive, dx, 0.0))
-            sya = jnp.sum(jnp.where(alive, dy, 0.0))
-            sza = jnp.sum(jnp.where(alive, dz, 0.0))
-            axa, aya, aza = jnp.abs(sxa), jnp.abs(sya), jnp.abs(sza)
-            is_x = (axa >= aya) & (axa >= aza)
-            is_y = (~is_x) & (aya >= aza)
-            dir_idx = jnp.where(
-                is_x, jnp.where(sxa >= 0, 0, 1),
-                jnp.where(is_y, jnp.where(sya >= 0, 2, 3),
-                          jnp.where(sza >= 0, 4, 5)),
-            ).astype(jnp.int32)
-        else:
-            dir_idx = jnp.int32(0)
-
-        if n_sph and not hier_sph:
-            rec = loop(n_sph, sph_body, rec, unroll=n_sph)
-        elif n_sph:
-            rec = _hier_sweep(
-                sph, sph_body, rec, alive, ox, oy, oz,
-                _safe_inv(dx), _safe_inv(dy), _safe_inv(dz),
-                t_min, n_sph, SPH_CLUSTER, SPH_SUPER, dir_idx,
-            )
-
-        def quad_body(p, rec):
-            best_t, fam, mat, r0_, r1_, r2_, aux = rec
-            nx = qd["nx"][p]
-            ny = qd["ny"][p]
-            nz = qd["nz"][p]
-            nd = dx * nx + dy * ny + dz * nz
-            no = ox * nx + oy * ny + oz * nz
-            not_par = jnp.abs(nd) >= quad_eps
-            t = (qd["d"][p] - no) / jnp.where(not_par, nd, 1.0)
-            o_aa = ox * qd["aax"][p] + oy * qd["aay"][p] + oz * qd["aaz"][p]
-            d_aa = dx * qd["aax"][p] + dy * qd["aay"][p] + dz * qd["aaz"][p]
-            o_ab = ox * qd["abx"][p] + oy * qd["aby"][p] + oz * qd["abz"][p]
-            d_ab = dx * qd["abx"][p] + dy * qd["aby"][p] + dz * qd["abz"][p]
-            alpha = o_aa + t * d_aa - qd["qaa"][p]
-            beta = o_ab + t * d_ab - qd["qab"][p]
-            closer = (
-                not_par & (t >= t_min) & (t <= best_t)
-                & (alpha >= 0.0) & (alpha <= 1.0)
-                & (beta >= 0.0) & (beta <= 1.0)
-            )
-            return (
-                jnp.where(closer, t, best_t),
-                jnp.where(closer, 1.0, fam),
-                jnp.where(closer, qd["mat"][p], mat),
-                jnp.where(closer, nx, r0_),
-                jnp.where(closer, ny, r1_),
-                jnp.where(closer, nz, r2_),
-                aux,
-            )
-
-        rec = loop(n_quad, quad_body, rec,
-                   unroll=n_quad if n_quad <= 64 else 1) if n_quad else rec
-
-        # Axis-aligned boxes: slab test, ~5x cheaper than the 6-quad
-        # expansion (which still exists for the XLA path). Entry hit at t0
-        # with the entering face's outward normal, exit hit at t1 for rays
-        # starting inside — identical surfaces/records to the quad form.
-        if n_box:
-            inv_dx = _safe_inv(dx)
-            inv_dy = _safe_inv(dy)
-            inv_dz = _safe_inv(dz)
-
-            def box_body(b, rec):
-                best_t, fam, mat, r0_, r1_, r2_, aux = rec
-                tax = (boxes["x0"][b] - ox) * inv_dx
-                tbx = (boxes["x1"][b] - ox) * inv_dx
-                tay = (boxes["y0"][b] - oy) * inv_dy
-                tby = (boxes["y1"][b] - oy) * inv_dy
-                taz = (boxes["z0"][b] - oz) * inv_dz
-                tbz = (boxes["z1"][b] - oz) * inv_dz
-                lox = jnp.minimum(tax, tbx)
-                hix = jnp.maximum(tax, tbx)
-                loy = jnp.minimum(tay, tby)
-                hiy = jnp.maximum(tay, tby)
-                loz = jnp.minimum(taz, tbz)
-                hiz = jnp.maximum(taz, tbz)
-                t0 = jnp.maximum(lox, jnp.maximum(loy, loz))
-                t1 = jnp.minimum(hix, jnp.minimum(hiy, hiz))
-                enter = t0 >= t_min
-                t = jnp.where(enter, t0, t1)
-                closer = (t1 > t0) & (t > t_min) & (t < best_t) & (t1 > t_min)
-                # Face axis: which slab produced the chosen t. (No select
-                # between i1 vectors — Mosaic can't lower it.)
-                ax_x = (enter & (t0 == lox)) | (~enter & (t1 == hix))
-                ax_y = ((enter & (t0 == loy)) | (~enter & (t1 == hiy))) & ~ax_x
-                ax_z = ~ax_x & ~ax_y
-                sgn = jnp.where(enter, -1.0, 1.0)
-                nxb = jnp.where(ax_x, sgn * jnp.sign(dx), 0.0)
-                nyb = jnp.where(ax_y, sgn * jnp.sign(dy), 0.0)
-                nzb = jnp.where(ax_z, sgn * jnp.sign(dz), 0.0)
-                closer = closer & (boxes["act"][b] > 0)
-                return (
-                    jnp.where(closer, t, best_t),
-                    jnp.where(closer, 1.0, fam),      # records like a quad
-                    jnp.where(closer, boxes["mat"][b], mat),
-                    jnp.where(closer, nxb, r0_),
-                    jnp.where(closer, nyb, r1_),
-                    jnp.where(closer, nzb, r2_),
-                    aux,
-                )
-
-            if not hier_box:
-                rec = jax.lax.fori_loop(0, n_box, box_body, rec, unroll=n_box)
-            else:
-                rec = _hier_sweep(
-                    boxes, box_body, rec, alive, ox, oy, oz,
-                    inv_dx, inv_dy, inv_dz,
-                    t_min, n_box, BOX_CLUSTER, BOX_SUPER, dir_idx,
-                )
-
-        # Constant media: analytic boundary entry/exit in model space +
-        # exponential free path (ConstantMedium.cpp:14-58; semantics match
-        # ops/intersect._media_ts).
-        draws_pb = 3 + n_med
-
-        def med_body(m, rec):
-            best_t, fam, mat, r0_, r1_, r2_, aux = rec
-            omx = med["i00"][m] * ox + med["i01"][m] * oy + med["i02"][m] * oz + med["i03"][m]
-            omy = med["i10"][m] * ox + med["i11"][m] * oy + med["i12"][m] * oz + med["i13"][m]
-            omz = med["i20"][m] * ox + med["i21"][m] * oy + med["i22"][m] * oz + med["i23"][m]
-            dmx_r = med["i00"][m] * dx + med["i01"][m] * dy + med["i02"][m] * dz
-            dmy_r = med["i10"][m] * dx + med["i11"][m] * dy + med["i12"][m] * dz
-            dmz_r = med["i20"][m] * dx + med["i21"][m] * dy + med["i22"][m] * dz
-            dm_len = jnp.sqrt(jnp.maximum(dmx_r * dmx_r + dmy_r * dmy_r + dmz_r * dmz_r, 1e-24))
-            dmx = dmx_r / dm_len
-            dmy = dmy_r / dm_len
-            dmz = dmz_r / dm_len
-
-            # Sphere boundary (moving center).
-            cx = med["p0x"][m] + tm * med["dspx"][m]
-            cy = med["p0y"][m] + tm * med["dspy"][m]
-            cz = med["p0z"][m] + tm * med["dspz"][m]
-            ocx = cx - omx
-            ocy = cy - omy
-            ocz = cz - omz
-            h = dmx * ocx + dmy * ocy + dmz * ocz
-            r = med["p1x"][m]
-            cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            disc = h * h - cc
-            s_valid = disc > 0.0
-            sq = jnp.where(s_valid, jnp.sqrt(jnp.where(s_valid, disc, 1.0)), 0.0)
-            s_t0 = h - sq
-            s_t1 = h + sq
-
-            # Box boundary (slabs, safe reciprocal).
-            def slab(dmc, omc, lo, hi):
-                d_safe = jnp.where(jnp.abs(dmc) < 1e-12,
-                                   jnp.where(dmc < 0, -1e-12, 1e-12), dmc)
-                inv = 1.0 / d_safe
-                ta = (lo - omc) * inv
-                tb = (hi - omc) * inv
-                return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
-
-            bx0, bx1 = slab(dmx, omx, med["p0x"][m], med["p1x"][m])
-            by0, by1 = slab(dmy, omy, med["p0y"][m], med["p1y"][m])
-            bz0, bz1 = slab(dmz, omz, med["p0z"][m], med["p1z"][m])
-            b_t0 = jnp.maximum(bx0, jnp.maximum(by0, bz0))
-            b_t1 = jnp.minimum(bx1, jnp.minimum(by1, bz1))
-            b_valid = b_t0 < b_t1
-
-            is_box = med["btype"][m] == float(defs.MEDIUM_BOX)
-            t0_ = jnp.where(is_box, b_t0, s_t0)
-            t1_ = jnp.where(is_box, b_t1, s_t1)
-            # Mosaic cannot select between i1 vectors; combine logically.
-            v = (is_box & b_valid) | (~is_box & s_valid)
-            v = v & (t1_ > t0_ + jnp.float32(float(defs.MEDIUM_EPS)))
-
-            d_len = jnp.sqrt(jnp.maximum(a, 1e-24))
-            scale = dm_len / d_len                       # model units per world t
-            e0 = jnp.maximum(jnp.maximum(t0_, t_min * scale), 0.0)
-            e1 = jnp.minimum(t1_, best_t * scale)
-            v = v & (e0 < e1)
-            u_m = draw(bounce.astype(jnp.int32) * draws_pb + 3 + m)
-            hit_dist = med["nid"][m] * jnp.log(jnp.maximum(u_m, 1e-12))
-            v = v & (hit_dist <= (e1 - e0))
-            t_world = (e0 + hit_dist) / scale
-            return (
-                jnp.where(v, t_world, best_t),
-                jnp.where(v, 2.0, fam),
-                jnp.where(v, med["mat"][m], mat),
-                jnp.where(v, 1.0, r0_),   # fixed normal (1,0,0)
-                jnp.where(v, 0.0, r1_),
-                jnp.where(v, 0.0, r2_),
-                aux,
-            )
-
-        rec = loop(n_med, med_body, rec) if n_med else rec
-        best_t, fam, matf, p0, p1, p2, aux = rec
-        valid = fam >= 0.0
-        is_sph = fam == 0.0
-        is_med = fam == 2.0
-
-        px = ox + best_t * dx
-        py = oy + best_t * dy
-        pz = oz + best_t * dz
-        rad_safe = jnp.where(aux != 0.0, aux, 1.0)
-        onx = jnp.where(is_sph, (px - p0) / rad_safe, p0)
-        ony = jnp.where(is_sph, (py - p1) / rad_safe, p1)
-        onz = jnp.where(is_sph, (pz - p2) / rad_safe, p2)
-        front_geom = (dx * onx + dy * ony + dz * onz) < 0.0
-        # Medium scatter: arbitrary fixed normal, always front-face
-        # (ConstantMedium.cpp:50-55).
-        front = front_geom | is_med
-        sgn = jnp.where(is_med, 1.0, jnp.where(front_geom, 1.0, -1.0))
-        nx_, ny_, nz_ = sgn * onx, sgn * ony, sgn * onz
+        rec = _closest_hit(
+            bodies, sph, boxes, alive=alive, ox=ox, oy=oy, oz=oz,
+            dx=dx, dy=dy, dz=dz, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
+            n_box=n_box, shape=shape, loop=loop, unroll_py=unroll_py,
+        )
+        matf = rec[2]
 
         # ---- material resolve: scalar sweep over the material table ------
         def mat_body(k, acc):
@@ -787,180 +789,222 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                 tuple(jnp.zeros(shape) for _ in range(10)),
             )
 
-        leaf = mtex
-        (ttype, t_alr, t_alg, t_alb, t_inv, t_even, t_odd,
-         t_scale, t_ntype, t_nslot) = tex_sweep(leaf)
-        if has_checker:
-            fx = jnp.floor(t_inv * px)
-            fy = jnp.floor(t_inv * py)
-            fz = jnp.floor(t_inv * pz)
-            parity = fx + fy + fz - 2.0 * jnp.floor((fx + fy + fz) * 0.5)
-            child = jnp.where(parity == 0.0, t_even, t_odd)
-            leaf = jnp.where(ttype == float(defs.TEX_CHECKER), child, mtex)
-            (ttype, t_alr, t_alg, t_alb, _, _, _, t_scale, t_ntype,
-             t_nslot) = tex_sweep(leaf)
-        if has_noise:
-            # Texture.cpp:13-22 with hash-derived gradients (see
-            # _hash_gradient); pattern keyed by texture index only, so it is
-            # fixed across samples/bounces like a real static texture.
-            # Miss lanes carry best_t=BIG, so px ~ 1e38 overflows to inf in
-            # the turbulence octave doubling; the inf/NaN forward values are
-            # masked out of the image but poison reverse-mode (vjp products
-            # multiply by primal values), so evaluate noise at a clamped
-            # point on those lanes.
-            npx = jnp.where(valid, px, 0.0)
-            npy = jnp.where(valid, py, 0.0)
-            npz = jnp.where(valid, pz, 0.0)
-            nseed = _mix(leaf.astype(jnp.int32).astype(jnp.uint32)
-                         ^ jnp.uint32(0x5EEDBA5E))
-            is_noise = ttype == float(defs.TEX_NOISE)
-            sel_n = is_noise & valid
-
-            if ntab is not None:
-                # TABLE mode (features noise_impl="table"): the XLA path's
-                # exact 256-entry perm/grad tables, gathered per lane from
-                # the packed VMEM operand — cross-backend noise goldens
-                # compare the same function. ntab is the [8, T*256] jnp
-                # array (callers materialize the ref before _make_bounce).
-                base_i = t_nslot.astype(jnp.int32) * NOISE_TABLE_N
-
-                def _noise_factor():
-                    marble = 0.5 * (1.0 + jnp.sin(
-                        t_scale * npz + 10.0 * _table_turbulence(
-                            npx, npy, npz, base_i, ntab)
-                    ))
-                    perl = 0.5 * (1.0 + _table_perlin(
-                        t_scale * npx, t_scale * npy, t_scale * npz,
-                        base_i, ntab
-                    ))
-                    return jnp.where(
-                        t_ntype == float(defs.NOISE_MARBLE), marble, perl
-                    )
-            else:
-                def _noise_factor():
-                    marble = 0.5 * (1.0 + jnp.sin(
-                        t_scale * npz + 10.0 * _turbulence(npx, npy, npz, nseed)
-                    ))
-                    perl = 0.5 * (1.0 + _perlin_noise(
-                        t_scale * npx, t_scale * npy, t_scale * npz, nseed
-                    ))
-                    return jnp.where(
-                        t_ntype == float(defs.NOISE_MARBLE), marble, perl
-                    )
-
-            if unroll_py:
-                # The replay must stay cond-free (lax.cond has no transpose).
-                nfac = _noise_factor()
-            else:
-                # The ~2000-op turbulence/perlin evaluation runs only when
-                # some lane actually shades a noise texture this bounce — a
-                # per-tile scalar branch, like the cluster skips. sel_n is
-                # unchanged by it, so the image is bitwise identical.
-                nfac = jax.lax.cond(
-                    jnp.any(sel_n), _noise_factor, lambda: jnp.ones(shape)
-                )
-            t_alr = jnp.where(sel_n, t_alr * nfac, t_alr)
-            t_alg = jnp.where(sel_n, t_alg * nfac, t_alg)
-            t_alb = jnp.where(sel_n, t_alb * nfac, t_alb)
-
-        # ---- RNG: per-ray counters from the per-ray bounce index ----------
-        bctr = bounce.astype(jnp.int32) * draws_pb
-        u1 = draw(bctr)
-        u2 = draw(bctr + 1)
-        u3 = draw(bctr + 2)
-        z = 1.0 - 2.0 * u1
-        phi = jnp.float32(2.0 * 3.14159265358979) * u2
-        rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
-        uvx = rxy * jnp.cos(phi)
-        uvy = rxy * jnp.sin(phi)
-        uvz = z
-
-        # ---- scatter (Material.cpp semantics) -----------------------------
-        is_lamb = (mtype == float(defs.MAT_LAMBERTIAN)) | (mtype == float(defs.MAT_TEXTURE))
-        is_metal = mtype == float(defs.MAT_METAL)
-        is_diel = mtype == float(defs.MAT_DIELECTRIC)
-        is_iso = mtype == float(defs.MAT_ISOTROPIC)
-        is_light = mtype == float(defs.MAT_DIFFUSE_LIGHT)
-        uses_tex = (mtype == float(defs.MAT_TEXTURE)) | is_iso
-
-        ldx, ldy, ldz = nx_ + uvx, ny_ + uvy, nz_ + uvz
-        eps = jnp.float32(float(defs.NEAR_ZERO_EPS))
-        degen = (jnp.abs(ldx) < eps) & (jnp.abs(ldy) < eps) & (jnp.abs(ldz) < eps)
-        ldx = jnp.where(degen, nx_, ldx)
-        ldy = jnp.where(degen, ny_, ldy)
-        ldz = jnp.where(degen, nz_, ldz)
-
-        dn = dx * nx_ + dy * ny_ + dz * nz_
-        rfx = dx - 2.0 * dn * nx_
-        rfy = dy - 2.0 * dn * ny_
-        rfz = dz - 2.0 * dn * nz_
-        rlen = jnp.sqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz, 1e-24))
-        mdx = rfx / rlen + mparam * uvx
-        mdy = rfy / rlen + mparam * uvy
-        mdz = rfz / rlen + mparam * uvz
-
-        param_safe = jnp.where(mparam > 0.0, mparam, 1.0)
-        ri = jnp.where(front, 1.0 / param_safe, param_safe)
-        dlen = jnp.sqrt(jnp.maximum(a, 1e-24))
-        udx, udy, udz = dx / dlen, dy / dlen, dz / dlen
-        cos_t = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
-        # 1e-12 floor: cos_t is clamped to exactly 1.0, where sqrt'(0)=inf
-        # would NaN the backward (0 cotangent x inf).
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
-        cannot = ri * sin_t > 1.0
-        r0s = (1.0 - ri) / (1.0 + ri)
-        r0s = r0s * r0s
-        schl = r0s + (1.0 - r0s) * (1.0 - cos_t) ** 5
-        refl_choice = cannot | (schl > u3)
-        udn = udx * nx_ + udy * ny_ + udz * nz_
-        rfux = udx - 2.0 * udn * nx_
-        rfuy = udy - 2.0 * udn * ny_
-        rfuz = udz - 2.0 * udn * nz_
-        rpx = ri * (udx + cos_t * nx_)
-        rpy = ri * (udy + cos_t * ny_)
-        rpz = ri * (udz + cos_t * nz_)
-        k = 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)
-        spar = -jnp.sqrt(jnp.maximum(jnp.abs(k), 1e-20))
-        rrx = rpx + spar * nx_
-        rry = rpy + spar * ny_
-        rrz = rpz + spar * nz_
-        ddx = jnp.where(refl_choice, rfux, rrx)
-        ddy = jnp.where(refl_choice, rfuy, rry)
-        ddz = jnp.where(refl_choice, rfuz, rrz)
-
-        ndx = jnp.where(is_lamb, ldx, jnp.where(is_metal, mdx, jnp.where(is_diel, ddx, uvx)))
-        ndy = jnp.where(is_lamb, ldy, jnp.where(is_metal, mdy, jnp.where(is_diel, ddy, uvy)))
-        ndz = jnp.where(is_lamb, ldz, jnp.where(is_metal, mdz, jnp.where(is_diel, ddz, uvz)))
-
-        atr = jnp.where(is_diel, 1.0, jnp.where(uses_tex, t_alr, alr))
-        atg = jnp.where(is_diel, 1.0, jnp.where(uses_tex, t_alg, alg))
-        atb = jnp.where(is_diel, 1.0, jnp.where(uses_tex, t_alb, alb))
-        emr = jnp.where(is_light, t_alr, 0.0)
-        emg = jnp.where(is_light, t_alg, 0.0)
-        emb = jnp.where(is_light, t_alb, 0.0)
-
-        miss = alive & ~valid
-        hit_live = alive & valid
-        scatter_live = hit_live & ~is_light
-
-        rr = rr + jnp.where(miss, tpr * bg_r[0], 0.0) + jnp.where(hit_live, tpr * emr, 0.0)
-        rg = rg + jnp.where(miss, tpg * bg_r[1], 0.0) + jnp.where(hit_live, tpg * emg, 0.0)
-        rb = rb + jnp.where(miss, tpb * bg_r[2], 0.0) + jnp.where(hit_live, tpb * emb, 0.0)
-        tpr = jnp.where(scatter_live, tpr * atr, tpr)
-        tpg = jnp.where(scatter_live, tpg * atg, tpg)
-        tpb = jnp.where(scatter_live, tpb * atb, tpb)
-        ox = jnp.where(scatter_live, px, ox)
-        oy = jnp.where(scatter_live, py, oy)
-        oz = jnp.where(scatter_live, pz, oz)
-        dx = jnp.where(scatter_live, ndx, dx)
-        dy = jnp.where(scatter_live, ndy, dy)
-        dz = jnp.where(scatter_live, ndz, dz)
-        bounce = bounce + jnp.where(alive, 1.0, 0.0)
-        next_alive = scatter_live & (bounce < max_depth_f)
-        return (bounce, next_alive.astype(jnp.float32), ox, oy, oz,
-                dx, dy, dz, tpr, tpg, tpb, rr, rg, rb)
+        return _shade_advance(
+            draw, carry, rec, (mtype, alr, alg, alb, mparam, mtex),
+            tex_sweep, bg_r, has_checker=has_checker, has_noise=has_noise,
+            ntab=ntab, unroll_py=unroll_py, shape=shape,
+            max_depth_f=max_depth_f, n_med=n_med,
+        )
 
     return bounce
+
+
+def _shade_advance(draw, carry, rec, mat6, tex_resolve, bg_r, *,
+                   has_checker, has_noise, ntab, unroll_py, shape,
+                   max_depth_f, n_med):
+    """Shared shade + state-advance: hit record + resolved material →
+    emission/attenuation/scatter and the next carry (Material.cpp /
+    Texture.cpp semantics; the tail of the per-bounce transition).
+
+    ``tex_resolve(idx_f)`` maps a per-lane texture index to the 10 texture
+    columns — a masked sweep in the fast kernels, per-lane VMEM gathers in
+    the gradient replay (megakernel_grad.py)."""
+    (bn, alive_f, ox, oy, oz, dx, dy, dz,
+     tpr, tpg, tpb, rr, rg, rb) = carry
+    alive = alive_f > 0.0
+    a = dx * dx + dy * dy + dz * dz
+    best_t, fam, matf, p0, p1, p2, aux = rec[:7]
+    mtype, alr, alg, alb, mparam, mtex = mat6
+    valid = fam >= 0.0
+    is_sph = fam == 0.0
+    is_med = fam == 2.0
+
+    px = ox + best_t * dx
+    py = oy + best_t * dy
+    pz = oz + best_t * dz
+    rad_safe = jnp.where(aux != 0.0, aux, 1.0)
+    onx = jnp.where(is_sph, (px - p0) / rad_safe, p0)
+    ony = jnp.where(is_sph, (py - p1) / rad_safe, p1)
+    onz = jnp.where(is_sph, (pz - p2) / rad_safe, p2)
+    front_geom = (dx * onx + dy * ony + dz * onz) < 0.0
+    # Medium scatter: arbitrary fixed normal, always front-face
+    # (ConstantMedium.cpp:50-55).
+    front = front_geom | is_med
+    sgn = jnp.where(is_med, 1.0, jnp.where(front_geom, 1.0, -1.0))
+    nx_, ny_, nz_ = sgn * onx, sgn * ony, sgn * onz
+
+    leaf = mtex
+    (ttype, t_alr, t_alg, t_alb, t_inv, t_even, t_odd,
+     t_scale, t_ntype, t_nslot) = tex_resolve(leaf)
+    if has_checker:
+        fx = jnp.floor(t_inv * px)
+        fy = jnp.floor(t_inv * py)
+        fz = jnp.floor(t_inv * pz)
+        parity = fx + fy + fz - 2.0 * jnp.floor((fx + fy + fz) * 0.5)
+        child = jnp.where(parity == 0.0, t_even, t_odd)
+        leaf = jnp.where(ttype == float(defs.TEX_CHECKER), child, mtex)
+        (ttype, t_alr, t_alg, t_alb, _, _, _, t_scale, t_ntype,
+         t_nslot) = tex_resolve(leaf)
+    if has_noise:
+        # Texture.cpp:13-22 with hash-derived gradients (see
+        # _hash_gradient); pattern keyed by texture index only, so it is
+        # fixed across samples/bounces like a real static texture.
+        # Miss lanes carry best_t=BIG, so px ~ 1e38 overflows to inf in
+        # the turbulence octave doubling; the inf/NaN forward values are
+        # masked out of the image but poison reverse-mode (vjp products
+        # multiply by primal values), so evaluate noise at a clamped
+        # point on those lanes.
+        npx = jnp.where(valid, px, 0.0)
+        npy = jnp.where(valid, py, 0.0)
+        npz = jnp.where(valid, pz, 0.0)
+        nseed = _mix(leaf.astype(jnp.int32).astype(jnp.uint32)
+                     ^ jnp.uint32(0x5EEDBA5E))
+        is_noise = ttype == float(defs.TEX_NOISE)
+        sel_n = is_noise & valid
+
+        if ntab is not None:
+            # TABLE mode (features noise_impl="table"): the XLA path's
+            # exact 256-entry perm/grad tables, gathered per lane from
+            # the packed VMEM operand — cross-backend noise goldens
+            # compare the same function. ntab is the [8, T*256] jnp
+            # array (callers materialize the ref before _make_bounce).
+            base_i = t_nslot.astype(jnp.int32) * NOISE_TABLE_N
+
+            def _noise_factor():
+                marble = 0.5 * (1.0 + jnp.sin(
+                    t_scale * npz + 10.0 * _table_turbulence(
+                        npx, npy, npz, base_i, ntab)
+                ))
+                perl = 0.5 * (1.0 + _table_perlin(
+                    t_scale * npx, t_scale * npy, t_scale * npz,
+                    base_i, ntab
+                ))
+                return jnp.where(
+                    t_ntype == float(defs.NOISE_MARBLE), marble, perl
+                )
+        else:
+            def _noise_factor():
+                marble = 0.5 * (1.0 + jnp.sin(
+                    t_scale * npz + 10.0 * _turbulence(npx, npy, npz, nseed)
+                ))
+                perl = 0.5 * (1.0 + _perlin_noise(
+                    t_scale * npx, t_scale * npy, t_scale * npz, nseed
+                ))
+                return jnp.where(
+                    t_ntype == float(defs.NOISE_MARBLE), marble, perl
+                )
+
+        if unroll_py:
+            # The replay must stay cond-free (lax.cond has no transpose).
+            nfac = _noise_factor()
+        else:
+            # The ~2000-op turbulence/perlin evaluation runs only when
+            # some lane actually shades a noise texture this bounce — a
+            # per-tile scalar branch, like the cluster skips. sel_n is
+            # unchanged by it, so the image is bitwise identical.
+            nfac = jax.lax.cond(
+                jnp.any(sel_n), _noise_factor, lambda: jnp.ones(shape)
+            )
+        t_alr = jnp.where(sel_n, t_alr * nfac, t_alr)
+        t_alg = jnp.where(sel_n, t_alg * nfac, t_alg)
+        t_alb = jnp.where(sel_n, t_alb * nfac, t_alb)
+
+    # ---- RNG: per-ray counters from the per-ray bounce index ----------
+    bctr = bn.astype(jnp.int32) * (3 + n_med)
+    u1 = draw(bctr)
+    u2 = draw(bctr + 1)
+    u3 = draw(bctr + 2)
+    z = 1.0 - 2.0 * u1
+    phi = jnp.float32(2.0 * 3.14159265358979) * u2
+    rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
+    uvx = rxy * jnp.cos(phi)
+    uvy = rxy * jnp.sin(phi)
+    uvz = z
+
+    # ---- scatter (Material.cpp semantics) -----------------------------
+    is_lamb = (mtype == float(defs.MAT_LAMBERTIAN)) | (mtype == float(defs.MAT_TEXTURE))
+    is_metal = mtype == float(defs.MAT_METAL)
+    is_diel = mtype == float(defs.MAT_DIELECTRIC)
+    is_iso = mtype == float(defs.MAT_ISOTROPIC)
+    is_light = mtype == float(defs.MAT_DIFFUSE_LIGHT)
+    uses_tex = (mtype == float(defs.MAT_TEXTURE)) | is_iso
+
+    ldx, ldy, ldz = nx_ + uvx, ny_ + uvy, nz_ + uvz
+    eps = jnp.float32(float(defs.NEAR_ZERO_EPS))
+    degen = (jnp.abs(ldx) < eps) & (jnp.abs(ldy) < eps) & (jnp.abs(ldz) < eps)
+    ldx = jnp.where(degen, nx_, ldx)
+    ldy = jnp.where(degen, ny_, ldy)
+    ldz = jnp.where(degen, nz_, ldz)
+
+    dn = dx * nx_ + dy * ny_ + dz * nz_
+    rfx = dx - 2.0 * dn * nx_
+    rfy = dy - 2.0 * dn * ny_
+    rfz = dz - 2.0 * dn * nz_
+    rlen = jnp.sqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz, 1e-24))
+    mdx = rfx / rlen + mparam * uvx
+    mdy = rfy / rlen + mparam * uvy
+    mdz = rfz / rlen + mparam * uvz
+
+    param_safe = jnp.where(mparam > 0.0, mparam, 1.0)
+    ri = jnp.where(front, 1.0 / param_safe, param_safe)
+    dlen = jnp.sqrt(jnp.maximum(a, 1e-24))
+    udx, udy, udz = dx / dlen, dy / dlen, dz / dlen
+    cos_t = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
+    # 1e-12 floor: cos_t is clamped to exactly 1.0, where sqrt'(0)=inf
+    # would NaN the backward (0 cotangent x inf).
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+    cannot = ri * sin_t > 1.0
+    r0s = (1.0 - ri) / (1.0 + ri)
+    r0s = r0s * r0s
+    schl = r0s + (1.0 - r0s) * (1.0 - cos_t) ** 5
+    refl_choice = cannot | (schl > u3)
+    udn = udx * nx_ + udy * ny_ + udz * nz_
+    rfux = udx - 2.0 * udn * nx_
+    rfuy = udy - 2.0 * udn * ny_
+    rfuz = udz - 2.0 * udn * nz_
+    rpx = ri * (udx + cos_t * nx_)
+    rpy = ri * (udy + cos_t * ny_)
+    rpz = ri * (udz + cos_t * nz_)
+    k = 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)
+    spar = -jnp.sqrt(jnp.maximum(jnp.abs(k), 1e-20))
+    rrx = rpx + spar * nx_
+    rry = rpy + spar * ny_
+    rrz = rpz + spar * nz_
+    ddx = jnp.where(refl_choice, rfux, rrx)
+    ddy = jnp.where(refl_choice, rfuy, rry)
+    ddz = jnp.where(refl_choice, rfuz, rrz)
+
+    ndx = jnp.where(is_lamb, ldx, jnp.where(is_metal, mdx, jnp.where(is_diel, ddx, uvx)))
+    ndy = jnp.where(is_lamb, ldy, jnp.where(is_metal, mdy, jnp.where(is_diel, ddy, uvy)))
+    ndz = jnp.where(is_lamb, ldz, jnp.where(is_metal, mdz, jnp.where(is_diel, ddz, uvz)))
+
+    atr = jnp.where(is_diel, 1.0, jnp.where(uses_tex, t_alr, alr))
+    atg = jnp.where(is_diel, 1.0, jnp.where(uses_tex, t_alg, alg))
+    atb = jnp.where(is_diel, 1.0, jnp.where(uses_tex, t_alb, alb))
+    emr = jnp.where(is_light, t_alr, 0.0)
+    emg = jnp.where(is_light, t_alg, 0.0)
+    emb = jnp.where(is_light, t_alb, 0.0)
+
+    miss = alive & ~valid
+    hit_live = alive & valid
+    scatter_live = hit_live & ~is_light
+
+    rr = rr + jnp.where(miss, tpr * bg_r[0], 0.0) + jnp.where(hit_live, tpr * emr, 0.0)
+    rg = rg + jnp.where(miss, tpg * bg_r[1], 0.0) + jnp.where(hit_live, tpg * emg, 0.0)
+    rb = rb + jnp.where(miss, tpb * bg_r[2], 0.0) + jnp.where(hit_live, tpb * emb, 0.0)
+    tpr = jnp.where(scatter_live, tpr * atr, tpr)
+    tpg = jnp.where(scatter_live, tpg * atg, tpg)
+    tpb = jnp.where(scatter_live, tpb * atb, tpb)
+    ox = jnp.where(scatter_live, px, ox)
+    oy = jnp.where(scatter_live, py, oy)
+    oz = jnp.where(scatter_live, pz, oz)
+    dx = jnp.where(scatter_live, ndx, dx)
+    dy = jnp.where(scatter_live, ndy, dy)
+    dz = jnp.where(scatter_live, ndz, dz)
+    bn = bn + jnp.where(alive, 1.0, 0.0)
+    next_alive = scatter_live & (bn < max_depth_f)
+    return (bn, next_alive.astype(jnp.float32), ox, oy, oz,
+            dx, dy, dz, tpr, tpg, tpb, rr, rg, rb)
 
 
 def _lattice_hash(ix, iy, iz, seed_u):

@@ -61,6 +61,11 @@ _STATE_KEYS = ("s_lane", "pid", "bn", "al", "ox", "oy", "oz",
 # 8→4.2-4.6, 16→5.6, 24→5.6-5.7, 32→5.0, 48→5.5 Mpaths/s. Override with
 # features mega_sublanes (any multiple of 8; images are bitwise invariant).
 SORT_SUBLANES = 24
+# Two-phase schedule defaults (overridable via features mega_k_bounces /
+# mega_tail_k / mega_tail_frac; see trace_wavefront_batch docstring).
+K_BOUNCES = 1
+TAIL_K = 16
+TAIL_FRAC = 0.2
 
 
 class _View:
@@ -339,15 +344,29 @@ def init_wavefront_state(n_rays, camv):
     jax.jit,
     static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
                      "sizes", "interpret", "sublanes", "sort_every",
-                     "k_bounces", "key_mode"),
+                     "k_bounces", "key_mode", "tail_k", "tail_frac"),
 )
 def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                           max_depth, has_checker, has_noise=False,
                           sizes=None, interpret=False,
                           sublanes=SORT_SUBLANES, sort_every=1,
-                          k_bounces=1, ntab=None, key_mode="pos"):
+                          k_bounces=1, ntab=None, key_mode="pos",
+                          tail_k=None, tail_frac=0.0):
     """Drop-in for megakernel.trace_megakernel_batch (linear slot layout
-    ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3]."""
+    ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3].
+
+    Two-phase schedule (``tail_k``/``tail_frac``): lanes process their
+    progressive samples sequentially, so the wave population stays near
+    n_rays for ~(n_samples x mean_path) waves and then collapses into a
+    long straggler tail (lanes whose samples drew deep paths). Phase 1
+    runs ``k_bounces`` per launch with a sort per launch — small K keeps
+    every wave position-sorted AND regeneration bounce-aligned, which is
+    when the per-tile cluster skips actually fire (measured on book2
+    600^2: sweeps cost 4.4 ms/bounce sorted-every-bounce vs 8.1 ms/bounce
+    buried inside K=16 launches). Once the runnable population drops below
+    ``tail_frac * n_rays``, phase 2 switches to ``tail_k`` bounces per
+    launch so stragglers stop paying sort + launch per bounce. Pure
+    scheduling — the image is bitwise identical for any config."""
     tile_r = sublanes * mk.LANES
     assert n_rays % tile_r == 0, (n_rays, tile_r)
     sph, qd, boxes, med, mats, texs = tables
@@ -356,53 +375,72 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
     n_samples = camv[22]
 
     bb_lo, bb_hi = scene_bounds(tables, sizes)
-    kern_kw = dict(
-        max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
-        n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
-        has_noise=has_noise, sublanes=sublanes, k_bounces=k_bounces,
-    )
+
+    def make_kern_kw(k):
+        return dict(
+            max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
+            n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
+            has_noise=has_noise, sublanes=sublanes, k_bounces=k,
+        )
+
     packed, offsets, n_camv = pack_smem_operand(camv, background, tables)
     with_ntab = ntab is not None
-    step = build_step(offsets, n_camv, n_rays=n_rays, sublanes=sublanes,
-                      with_ntab=with_ntab, interpret=interpret,
-                      kern_kw=kern_kw)
+
+    def make_step(k):
+        return build_step(offsets, n_camv, n_rays=n_rays, sublanes=sublanes,
+                          with_ntab=with_ntab, interpret=interpret,
+                          kern_kw=make_kern_kw(k))
 
     camv = jnp.asarray(camv, jnp.float32)
     seedi = jnp.asarray(seedi, jnp.int32).reshape(1)
     state = init_wavefront_state(n_rays, camv)
 
-    def cond(carry):
-        state, i = carry
+    def runnable_count(state):
         runnable = (state["al"] > 0.0) | (
             (state["s_lane"] < n_samples - 1.0) & (state["pid"] >= 0.0))
-        return jnp.any(runnable)
+        return jnp.sum(runnable.astype(jnp.int32))
 
-    def body(carry):
-        state, i = carry
+    def do_sort(state):
+        # Row-gather of ONE packed [n, 17] array: XLA lowers a
+        # multi-array gather inside while_loop to a slow serialized
+        # form (~60 ms/step measured); the packed row gather runs at
+        # HBM bandwidth (~0.05 ms).
+        keys = sort_keys(state, n_samples, bb_lo, bb_hi, key_mode)
+        perm = jnp.argsort(keys)
+        pk = jnp.stack([state[k] for k in _STATE_KEYS], axis=1)
+        pk = pk[perm]
+        return {k: pk[:, i] for i, k in enumerate(_STATE_KEYS)}
 
-        def do_sort(state):
-            # Row-gather of ONE packed [n, 17] array: XLA lowers a
-            # multi-array gather inside while_loop to a slow serialized
-            # form (~60 ms/step measured); the packed row gather runs at
-            # HBM bandwidth (~0.05 ms).
-            keys = sort_keys(state, n_samples, bb_lo, bb_hi, key_mode)
-            perm = jnp.argsort(keys)
-            packed = jnp.stack([state[k] for k in _STATE_KEYS], axis=1)
-            packed = packed[perm]
-            return {k: packed[:, i] for i, k in enumerate(_STATE_KEYS)}
+    def make_body(step):
+        def body(carry):
+            state, i = carry
+            if sort_every == 1:
+                state = do_sort(state)
+            else:
+                state = jax.lax.cond(
+                    i % sort_every == 0, do_sort, lambda s: s, state)
+            ntab_ops = (jnp.asarray(ntab, jnp.float32),) if with_ntab else ()
+            outs = step(packed, seedi, *ntab_ops,
+                        *(state[k].reshape(rows, mk.LANES)
+                          for k in _STATE_KEYS))
+            state = {k: v.reshape(n_rays)
+                     for k, v in zip(_STATE_KEYS, outs)}
+            return state, i + 1
+        return body
 
-        if sort_every == 1:
-            state = do_sort(state)
-        else:
-            state = jax.lax.cond(
-                i % sort_every == 0, do_sort, lambda s: s, state)
-        ntab_ops = (jnp.asarray(ntab, jnp.float32),) if with_ntab else ()
-        outs = step(packed, seedi, *ntab_ops,
-                    *(state[k].reshape(rows, mk.LANES) for k in _STATE_KEYS))
-        state = {k: v.reshape(n_rays) for k, v in zip(_STATE_KEYS, outs)}
-        return state, i + 1
-
-    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    two_phase = bool(tail_k) and tail_k != k_bounces and tail_frac > 0.0
+    if two_phase:
+        pop_switch = jnp.int32(int(tail_frac * n_rays))
+        state, _ = jax.lax.while_loop(
+            lambda c: runnable_count(c[0]) > pop_switch,
+            make_body(make_step(k_bounces)), (state, jnp.int32(0)))
+        state, _ = jax.lax.while_loop(
+            lambda c: runnable_count(c[0]) > 0,
+            make_body(make_step(tail_k)), (state, jnp.int32(0)))
+    else:
+        state, _ = jax.lax.while_loop(
+            lambda c: runnable_count(c[0]) > 0,
+            make_body(make_step(k_bounces)), (state, jnp.int32(0)))
 
     # Un-permute by pixel id: each pixel has exactly ONE slot, so a scatter
     # by pid is a bijection onto the image (padding slots pid<0 drop).

@@ -350,6 +350,49 @@ def _parse_primitives_legacy(
     return prims
 
 
+def _validate_references(textures: list[dict], materials: list[dict],
+                         prims: list, errors: list[str]) -> None:
+    """Loud rejection at the supported-scope edges (VERDICT r3 item 8).
+
+    The reference loader prints and *skips* bad entries
+    (src/Serialize.cpp:102-104); silently dropping or mis-rendering is
+    worse than failing, so every dangling index and every feature outside
+    this port's documented scope (checker children must not themselves be
+    checkers — the kernels resolve checker one level deep, see
+    ops/textures.py) raises SceneError."""
+    n_tex = len(textures)
+    n_mat = len(materials)
+    for i, t in enumerate(textures):
+        if t["type"] != "checker":
+            continue
+        for side in ("even", "odd"):
+            c = t[side]
+            if not (0 <= c < n_tex):
+                errors.append(
+                    f"texture {i}: checker {side}_tex_idx {c} out of range "
+                    f"(have {n_tex} textures)")
+            elif textures[c]["type"] == "checker":
+                errors.append(
+                    f"texture {i}: checker {side} child {c} is itself a "
+                    "checker — nested checkers are outside this renderer's "
+                    "supported scope (children must be solid or noise)")
+    for i, m in enumerate(materials):
+        tex = m.get("tex")
+        if tex is not None and not (0 <= tex < n_tex):
+            errors.append(
+                f"material {i}: tex_idx {tex} out of range "
+                f"(have {n_tex} textures)")
+    for i, p in enumerate(prims):
+        if not (0 <= p.material < max(n_mat, 1)):
+            errors.append(
+                f"primitive {i}: material index {p.material} out of range "
+                f"(have {n_mat} materials)")
+        if p.medium is not None and not (0 <= p.medium["material"] < max(n_mat, 1)):
+            errors.append(
+                f"primitive {i}: constant_medium material index "
+                f"{p.medium['material']} out of range (have {n_mat} materials)")
+
+
 def parse_scene(path: str, data_dir: str | None = None) -> SceneDesc:
     with open(path) as f:
         obj = json.load(f)
@@ -377,6 +420,7 @@ def parse_scene(path: str, data_dir: str | None = None) -> SceneDesc:
             # applies (make_scene.py:203-204).
             nodes = [{"primitive": i} for i in range(len(prims))]
 
+    _validate_references(textures, materials, prims, errors)
     if errors:
         raise SceneError(f"Failed to parse scene {path}: " + "; ".join(errors))
 

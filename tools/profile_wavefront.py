@@ -13,7 +13,9 @@ on REAL mid-render state snapshots:
 launches x (sort + step) ~ render walltime; (step - nosweep) is the sweep
 cost; (linear - nosweep) / (step - nosweep) is the hierarchy's skip factor.
 
-Usage: python tools/profile_wavefront.py [scene.json] [--spp 32] [--res 600]
+Usage: python tools/profile_wavefront.py SCENE.json [--spp 32] [--res 600]
+(e.g. SCENE = /root/reference/data/book2_final_scene_10000_samples.json on
+the dev host — the scene argument is required so the tool is portable).
 """
 
 from __future__ import annotations
@@ -43,7 +45,18 @@ def patched_sweep(mode):
     elif mode == "linear":
         def lin(tbl, body_fn, rec, alive, ox, oy, oz, ix, iy, iz,
                 t_min, n_recs, cluster, super_, dir_idx):
-            return jax.lax.fori_loop(0, n_recs, body_fn, rec)
+            # Brute force with the SAME inner unrolling as the real sweep's
+            # sweep_cluster (unroll=cluster) — only the AABB-skip logic is
+            # removed, so (linear - nosweep) is a fair lower bound.
+            n_cl = -(-n_recs // cluster)
+
+            def cl_body(c1, rec):
+                def inner(k, rec):
+                    return body_fn(c1 * cluster + k, rec)
+                return jax.lax.fori_loop(0, cluster, inner, rec,
+                                         unroll=cluster)
+
+            return jax.lax.fori_loop(0, n_cl, cl_body, rec)
         mk._hier_sweep = lin
     try:
         yield
@@ -53,9 +66,7 @@ def patched_sweep(mode):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("scene", nargs="?",
-                    default="/root/reference/data/"
-                            "book2_final_scene_10000_samples.json")
+    ap.add_argument("scene")
     ap.add_argument("--spp", type=int, default=32)
     ap.add_argument("--res", type=int, default=600)
     ap.add_argument("--depth", type=int, default=50)
@@ -64,8 +75,18 @@ def main():
     ap.add_argument("--key", default="pos")
     ap.add_argument("--snapshots", default="1,3,6,12,24")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--noise-impl", choices=("hash", "table"), default="hash",
+                    help="Perlin mode on noise scenes; 'hash' matches the "
+                         "production default (integrator.py noise_impl), "
+                         "'table' packs the perm/grad tables like the "
+                         "cross-backend goldens")
     ap.add_argument("--skip-modes", action="store_true",
                     help="skip the nosweep/linear recompiles")
+    ap.add_argument("--ladder", type=int, default=0, metavar="N",
+                    help="bounce-resolved mode: drive N (sort + K=1 step) "
+                         "iterations from the fresh state, timing each "
+                         "step for every sweep variant — shows coherence "
+                         "decay per bounce (k-bounces is forced to 1)")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +105,9 @@ def main():
     W = H = args.res
     sizes = tuple(feats["mega_sizes"])
     n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
-    sublanes = args.sublanes or wf.SORT_SUBLANES
+    sublanes = wf.SORT_SUBLANES if args.sublanes is None else args.sublanes
+    assert sublanes > 0 and sublanes % 8 == 0, (
+        f"--sublanes must be a positive multiple of 8, got {sublanes}")
     tile_r = sublanes * mk.LANES
     n_total = W * H
     n_rays = -(-n_total // tile_r) * tile_r
@@ -115,6 +138,11 @@ def main():
     packed, offsets, n_camv = wf.pack_smem_operand(
         camv, scene.background, tables)
     seedi = jnp.zeros(1, jnp.int32)
+    # Mirror integrator._render_batch_megakernel's ntab wiring so 'table'
+    # mode times the production table-Perlin kernel, not the hash fallback.
+    ntab = None
+    if feats.get("has_noise") and args.noise_impl == "table":
+        ntab = mk.pack_noise_tables(scene, tuple(feats["noise_rows"]))
     kern_kw = dict(
         max_depth=args.depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
         n_mat=n_mat, n_tex=n_tex, n_box=n_box,
@@ -136,10 +164,11 @@ def main():
         with patched_sweep(mode):
             step = wf.build_step(
                 offsets, n_camv, n_rays=n_rays, sublanes=sublanes,
-                with_ntab=False, interpret=False, kern_kw=kern_kw)
+                with_ntab=ntab is not None, interpret=False, kern_kw=kern_kw)
+            ntab_ops = () if ntab is None else (ntab,)
 
             def run(state):
-                outs = step(packed, seedi,
+                outs = step(packed, seedi, *ntab_ops,
                             *(state[k].reshape(rows, mk.LANES)
                               for k in wf._STATE_KEYS))
                 return {k: v.reshape(n_rays)
@@ -158,6 +187,26 @@ def main():
             out = fn(state)
         out["al"].block_until_ready()
         return (time.perf_counter() - t0) / reps * 1e3  # ms
+
+    if args.ladder:
+        kern_kw["k_bounces"] = 1
+        variants = {"normal": make_step("normal")}
+        if not args.skip_modes:
+            variants["nosweep"] = make_step("nosweep")
+            variants["linear"] = make_step("linear")
+        state = wf.init_wavefront_state(n_rays, camv)
+        for it in range(args.ladder):
+            srt = sort_fn(state)
+            srt["al"].block_until_ready()
+            row = {"bounce": it, "alive": int((srt["al"] > 0).sum()),
+                   "regen": int(((srt["al"] <= 0)
+                                 & (srt["s_lane"] < n_samples - 1.0)
+                                 & (srt["pid"] >= 0.0)).sum())}
+            for name, fn in variants.items():
+                row[name + "_ms"] = round(timeit(fn, srt, args.reps), 2)
+            state = variants["normal"](srt)
+            print(json.dumps(row), flush=True)
+        return
 
     step_normal = make_step("normal")
 

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--kb", default="8,16,32")
     ap.add_argument("--sort-every", default="1,2")
     ap.add_argument("--sublanes", default="8")
+    ap.add_argument("--tail-k", default="0",
+                    help="phase-2 bounces/launch (0 = single phase)")
+    ap.add_argument("--tail-frac", default="0.0",
+                    help="runnable-population fraction switching to phase 2")
     ap.add_argument("--out", default=None, help="JSONL results file")
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode (CPU smoke test only)")
@@ -63,18 +67,22 @@ def main():
         [int(x) for x in args.kb.split(",")],
         [int(x) for x in args.sort_every.split(",")],
         [int(x) for x in args.sublanes.split(",")],
+        [int(x) for x in args.tail_k.split(",")],
+        [float(x) for x in args.tail_frac.split(",")],
     ))
     results = []
-    for key_mode, kb, se, sl in combos:
+    for key_mode, kb, se, sl, tk, tf in combos:
         feat = dict(base, mega_sort_key=key_mode, mega_k_bounces=kb,
-                    mega_sort_every=se, mega_sublanes=sl)
+                    mega_sort_every=se, mega_sublanes=sl,
+                    mega_tail_k=tk, mega_tail_frac=tf)
         run(feat, 1)  # compile
         t0 = time.perf_counter()
         r = run(feat, args.spp)
         dt = time.perf_counter() - t0
         mps = args.spp * W * H / dt / 1e6
         rec = {"key": key_mode, "k_bounces": kb, "sort_every": se,
-               "sublanes": sl, "mpaths_s": round(mps, 3),
+               "sublanes": sl, "tail_k": tk, "tail_frac": tf,
+               "mpaths_s": round(mps, 3),
                "mean": float(r.mean() / args.spp)}
         results.append(rec)
         print(json.dumps(rec), flush=True)
