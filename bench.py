@@ -146,13 +146,18 @@ def main() -> int:
 
 def _main_grad(scene, features, width, height) -> int:
     """fwd+bwd throughput: value_and_grad of a scalar loss through the
-    render, both directions as Pallas kernels (megakernel_grad custom VJP)."""
+    render, both directions as Pallas kernels (megakernel_grad custom VJP —
+    the indexed replay, so the FULL depth-50 flagship workload runs).
+    ``--grad-depth N`` overrides (16 reproduces the round-2 comparison
+    row)."""
     import jax
     import jax.numpy as jnp
 
     from raytrace2_tpu import grad as grad_mod
 
-    max_depth = 16  # GRAD_MAX_DEPTH: the reverse replay unrolls the chain
+    max_depth = 50  # the reference's implied headline depth (BASELINE.md)
+    if "--grad-depth" in sys.argv[1:]:
+        max_depth = int(sys.argv[sys.argv.index("--grad-depth") + 1])
     sqrt_spp = 2
     n_samples = 4  # per dispatch; samples loop in-kernel across the batch
 
@@ -187,16 +192,17 @@ def _main_grad(scene, features, width, height) -> int:
         dt = timed(iters)
 
     paths_per_sec = iters * n_samples * width * height / dt
-    # Reference forward-only 1.17 Mpaths/s at depth 50 → ~3.66 M at depth 16
-    # (cost ~ linear in depth); it computes no gradient at all.
+    # Reference forward-only 1.17 Mpaths/s at depth 50 (it computes no
+    # gradient at all); scaled linearly when comparing other depths.
     print(
         json.dumps(
             {
-                "metric": "cornell600_fwdbwd_paths_per_sec",
+                "metric": f"cornell600_fwdbwd_d{max_depth}_paths_per_sec",
                 "value": round(paths_per_sec, 1),
                 "unit": "paths/s",
                 "vs_baseline": round(
-                    paths_per_sec / (_BASELINE_PATHS_PER_SEC * 50 / 16), 3),
+                    paths_per_sec
+                    / (_BASELINE_PATHS_PER_SEC * 50 / max_depth), 3),
             }
         )
     )

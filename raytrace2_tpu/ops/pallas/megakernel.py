@@ -457,23 +457,26 @@ def make_family_bodies(sph, qd, boxes, med, *, draw, tm, ox, oy, oz,
     the sweep; reference intersections: Sphere.cpp:7-26, Quad.cpp:19-43,
     AABB slab form, ConstantMedium.cpp:14-58).
 
-    ``rec`` = (best_t, fam, mat, p0, p1, p2, aux[, idx]): fam is 0 sphere /
-    1 quad|box / 2 medium; p0..p2 carry the winner's center|normal; aux the
-    sphere radius. ``track_index=True`` appends the winning record's
-    family-local index (the gradient replay resolves the winner's params
-    differentiably from it; megakernel_grad.py). Tables may be SMEM refs,
-    packed-operand views, or any mapping whose values index by the loop
-    counter — including per-lane gathered arrays via a constant accessor.
+    ``rec`` = (best_t, fam, mat, p0, p1, p2, aux[, idx, famid]): fam is
+    0 sphere / 1 quad|box / 2 medium; p0..p2 carry the winner's
+    center|normal; aux the sphere radius. ``track_index=True`` appends the
+    winning record's family-local index and a 4-way family id (0 sphere /
+    1 quad / 2 box / 3 medium — fam can't disambiguate quad vs box): the
+    gradient replay resolves the winner's params differentiably from them
+    (megakernel_grad.py). Tables may be SMEM refs, packed-operand views, or
+    any mapping whose values index by the loop counter — including
+    per-lane gathered arrays via a constant accessor.
     """
     t_min = jnp.float32(float(defs.T_MIN))
     quad_eps = jnp.float32(float(defs.QUAD_EPS))
     draws_pb = 3 + n_med
 
-    def upd(rec, closer, vals):
-        out = tuple(jnp.where(closer, v, r) for v, r in zip(vals, rec[:7]))
+    def upd(rec, closer, vals, code=0.0):
+        out = tuple(jnp.where(closer, v, r) for v, r in zip(vals[:7], rec[:7]))
         if track_index:
-            p, idx = vals[7], rec[7]
-            out = out + (jnp.where(closer, _kf(p), idx),)
+            p, idx, famid = vals[7], rec[7], rec[8]
+            out = out + (jnp.where(closer, _kf(p), idx),
+                         jnp.where(closer, code, famid))
         return out
 
     def sph_body(p, rec):
@@ -498,7 +501,7 @@ def make_family_bodies(sph, qd, boxes, med, *, draw, tm, ox, oy, oz,
         ok1 = (root1 > t_min) & (root1 < best_t)
         root = jnp.where(ok0, root0, root1)
         closer = has & (ok0 | ok1) & (sph["act"][p] > 0)
-        return upd(rec, closer, (root, 0.0, sph["mat"][p], cx, cy, cz, rad, p))
+        return upd(rec, closer, (root, 0.0, sph["mat"][p], cx, cy, cz, rad, p), 0.0)
 
     def quad_body(p, rec):
         best_t, fam, mat, r0_, r1_, r2_, aux = rec[:7]
@@ -520,7 +523,7 @@ def make_family_bodies(sph, qd, boxes, med, *, draw, tm, ox, oy, oz,
             & (alpha >= 0.0) & (alpha <= 1.0)
             & (beta >= 0.0) & (beta <= 1.0)
         )
-        return upd(rec, closer, (t, 1.0, qd["mat"][p], nx, ny, nz, rec[6], p))
+        return upd(rec, closer, (t, 1.0, qd["mat"][p], nx, ny, nz, rec[6], p), 1.0)
 
     # Axis-aligned boxes: slab test, ~5x cheaper than the 6-quad
     # expansion (which still exists for the XLA path). Entry hit at t0
@@ -560,7 +563,7 @@ def make_family_bodies(sph, qd, boxes, med, *, draw, tm, ox, oy, oz,
         nzb = jnp.where(ax_z, sgn * jnp.sign(dz), 0.0)
         closer = closer & (boxes["act"][b] > 0)
         return upd(rec, closer,
-                   (t, 1.0, boxes["mat"][b], nxb, nyb, nzb, rec[6], b))
+                   (t, 1.0, boxes["mat"][b], nxb, nyb, nzb, rec[6], b), 2.0)
 
     # Constant media: analytic boundary entry/exit in model space +
     # exponential free path (ConstantMedium.cpp:14-58; semantics match
@@ -627,7 +630,7 @@ def make_family_bodies(sph, qd, boxes, med, *, draw, tm, ox, oy, oz,
         v = v & (hit_dist <= (e1 - e0))
         t_world = (e0 + hit_dist) / scale
         return upd(rec, v,
-                   (t_world, 2.0, med["mat"][m], 1.0, 0.0, 0.0, rec[6], m))
+                   (t_world, 2.0, med["mat"][m], 1.0, 0.0, 0.0, rec[6], m), 3.0)
 
     return sph_body, quad_body, box_body, med_body
 
@@ -640,7 +643,7 @@ def init_rec(shape, track_index=False):
         jnp.ones(shape),
     )
     if track_index:
-        rec = rec + (jnp.full(shape, -1.0),)
+        rec = rec + (jnp.full(shape, -1.0), jnp.full(shape, -1.0))
     return rec
 
 

@@ -3,41 +3,56 @@
 The fast v4 forward (megakernel.trace_megakernel_batch) is wrapped in
 ``jax.custom_vjp``; the backward is a SECOND Pallas kernel that re-traces
 every (pixel, sample) path — the counter-hash RNG makes the whole path a
-pure function of (seed, pixel, sample), so NO residuals need to be stored —
-and runs ``jax.vjp`` over a Python-unrolled replay of the same bounce
-physics (megakernel._make_bounce with ``unroll_py=True``).
+pure function of (seed, pixel, sample), so NO residuals need to be stored
+between forward and backward.
+
+INDEXED REPLAY (v2 — the round-2 kernel Python-unrolled every record sweep
+into the differentiable chain, which capped scenes at 64 records and the
+chain at depth 16): each replayed bounce now splits closest-hit into
+
+* a NON-differentiable winner search: the production sweep
+  (megakernel._closest_hit — cluster-skip hierarchy included) runs on
+  ``stop_gradient`` ray state over the SMEM tables, tracking only the
+  winning record's (family, index). Zero tangents flow, so lax loops and
+  conds inside it need no transpose rules and contribute no residuals.
+* a differentiable RESOLVE of the winner only: the winner's parameters are
+  gathered per lane from packed VMEM copies of the tables
+  (``_make_gather`` — Mosaic's 2-D ``take_along_axis`` walked over
+  128-wide segments) and the SAME family intersection body
+  (megakernel.make_family_bodies) recomputes its t/normal from them — an
+  O(1)-per-bounce differentiable chain regardless of scene size. The
+  winner's root choice depends only on t_min, never on the running
+  best-so-far, so the resolve reproduces the sweep's result exactly.
+* materials/textures resolve by the same per-lane gather at the winner's
+  (detached) indices, through the shared shade tail
+  (megakernel._shade_advance).
+
+The gather's transpose would be a scatter-add, which Mosaic cannot lower;
+``_make_gather`` is a custom_vjp whose backward builds per-sublane one-hot
+masks and contracts them against the cotangents on the MXU
+(``lax.dot_general`` with the lane dim contracting) — K table keys ride
+one matmul per (segment, sublane).
 
 Estimator semantics match the XLA grad path (grad.py): discrete events
 (which primitive wins, reflect/refract branch, checker cell, medium
-scatter) carry no gradient — they're boolean ``jnp.where`` conditions,
-which JAX's AD detaches automatically — while the continuous chain
+scatter acceptance) carry no gradient, while the continuous chain
 (camera ray → hit t → point → normal → scatter direction → next t → ...)
-differentiates end to end, including THROUGH the intersection solves
-(t of the selected primitive), at fixed random primal.
+differentiates end to end THROUGH the intersection solves at fixed random
+primal.
 
-Differentiable leaves and how they chain:
-* packed geometry/material/texture tables (megakernel.pack_tables output):
-  the kernel emits per-record cotangents; jax AD chains them through
-  ``pack_tables`` back to the FlatScene leaves (sphere center/displacement/
-  radius, quad q/u/v via the derived normal/d/alpha/beta rows, box bounds,
-  medium density, material albedo/fuzz/ior, texture albedos).
-* the camera control vector ``camv`` entries 0..18: chained through
-  ``camera_ops.camera_frame`` back to CameraParams (center, look_at, vup,
-  vfov, defocus_angle, focus_dist) by jax AD outside the kernel.
-* background color.
+Differentiable leaves: the packed table rows listed in GRAD_*_KEYS
+(chained through megakernel.pack_tables back to the FlatScene leaves),
+camera control entries 0..18 (chained through camera_ops.camera_frame),
+and the background color. Adjoint accumulation: SMEM scalars (camera,
+background) and revisited VMEM blocks (tables) summed across sequential
+grid steps and an in-kernel sample loop — one launch produces the whole
+gradient.
 
-Adjoint accumulation: per-record/scalar cotangents are cross-lane
-reductions (jnp.sum over the tile); they accumulate into SMEM outputs
-revisited across grid steps (TPU grids are sequential on a core) and over
-an in-kernel ``fori_loop`` across samples, so one kernel launch produces
-the complete gradient.
-
-Scope gate (fall back to the XLA scan path otherwise — grad.py handles
-this): record counts small enough to Python-unroll (GRAD_MAX_RECORDS),
-depth ≤ GRAD_MAX_DEPTH, no noise textures (the 7-octave turbulence unroll
-would dominate compile time for zero test coverage). Reference parity:
-the reference has no gradients at all — this is north-star surface
-(BASELINE.json "fwd and fwd+bwd at speed-of-light").
+Scope gate (``grad_supported``): total records within the forward
+kernel's own SMEM bound and depth <= GRAD_MAX_DEPTH (the replay unrolls
+the bounce chain at trace time). Reference parity: the reference has no
+gradients at all — this is north-star surface (BASELINE.json "fwd and
+fwd+bwd at speed-of-light").
 """
 
 from __future__ import annotations
@@ -52,8 +67,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytrace2_tpu.ops.pallas import megakernel as mk
 
-# Differentiable keys per packed table (order = row index in the kernel's
-# 2-D cotangent outputs).
+# Differentiable keys per packed table (reported cotangents; the other
+# body keys — integer ids, flags, medium boundary geometry — are traced
+# as constants exactly like the round-2 kernel treated them).
 GRAD_SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad")
 GRAD_QUAD_KEYS = ("nx", "ny", "nz", "d", "aax", "aay", "aaz",
                   "abx", "aby", "abz", "qaa", "qab")
@@ -63,49 +79,298 @@ GRAD_MAT_KEYS = ("alr", "alg", "alb", "param")
 GRAD_TEX_KEYS = ("alr", "alg", "alb", "scale")
 N_CAMV_DIFF = 19  # camv entries 0..18 are camera geometry; the rest batch params
 
-GRAD_MAX_RECORDS = 64   # python-unrolled sweeps: records bound
-GRAD_MAX_DEPTH = 16     # unrolled bounce chain bound
-GRAD_SUBLANES = 8       # smaller tiles bound the vjp residual VMEM footprint
+GRAD_MAX_DEPTH = 64     # replayed bounce chain is unrolled at trace time
+GRAD_SUBLANES = 16      # smaller tiles bound the vjp residual VMEM footprint
+
+# Keys each family's intersection body reads (cluster/visit-order keys are
+# sweep-only and stay SMEM-resident).
+_BODY_SPH = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat", "act")
+_BODY_QUAD = mk._QUAD_KEYS
+_BODY_BOX = ("x0", "y0", "z0", "x1", "y1", "z1", "mat", "act")
+_BODY_MED = mk._MED_KEYS
+_BODY_MAT = mk._MAT_KEYS
+_BODY_TEX = mk._TEX_KEYS
+_FAMS = (_BODY_SPH, _BODY_QUAD, _BODY_BOX, _BODY_MED, _BODY_MAT, _BODY_TEX)
 
 
 def grad_supported(sizes, max_depth, has_noise) -> bool:
-    """has_noise is allowed (noise textures are exactly what makes geometry
-    and camera gradients continuous under the detached estimator) — it just
-    costs compile time: the 7-octave turbulence unrolls per bounce."""
+    """Any scene the forward megakernel can render, at any corpus depth.
+    has_noise is allowed (hash-gradient noise is pure arithmetic — and is
+    exactly what makes geometry/camera gradients continuous under the
+    detached estimator)."""
     del has_noise
     n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
-    return (
-        n_sph + n_quad + n_box + n_med <= GRAD_MAX_RECORDS
-        and n_mat <= GRAD_MAX_RECORDS
-        and n_tex <= GRAD_MAX_RECORDS
-        and max_depth <= GRAD_MAX_DEPTH
-    )
+    records = n_sph + n_quad + n_box + n_med
+    return records <= mk.MAX_SMEM_RECORDS and max_depth <= GRAD_MAX_DEPTH
 
 
-def _read_scalars(ref, n):
-    """Table column (SMEM ref or array) → list of n traced scalars."""
-    return [ref[i] for i in range(n)]
+def pack_diff_tables(tables):
+    """Pack each family's body keys into ONE [K*S, 128] f32 array (K keys,
+    S = ceil(rows/128) segments per key): the VMEM side of the tables the
+    replay gathers winner parameters from. Linear in the table leaves, so
+    jax chains table cotangents straight through it."""
+    out = []
+    for tbl, keys in zip(tables, _FAMS):
+        arr0 = jnp.asarray(tbl[keys[0]])
+        length = int(arr0.shape[0])
+        segs = -(-length // mk.LANES)
+        rows = []
+        for k in keys:
+            a = jnp.asarray(tbl[k], jnp.float32)
+            a = jnp.pad(a, (0, segs * mk.LANES - length))
+            rows.append(a.reshape(segs, mk.LANES))
+        out.append(jnp.concatenate(rows, axis=0))
+    return tuple(out)
+
+
+def _unpack_diff_cotangent(d_packed, tables):
+    """Inverse of pack_diff_tables for the cotangent: [K*S,128] → per-key
+    [rows] arrays (only the GRAD_*_KEYS are reported; everything else is
+    zero, matching the round-2 kernel's reporting surface)."""
+    grad_keys = (GRAD_SPH_KEYS, GRAD_QUAD_KEYS, GRAD_BOX_KEYS,
+                 GRAD_MED_KEYS, GRAD_MAT_KEYS, GRAD_TEX_KEYS)
+    outs = []
+    for dp, tbl, keys, gkeys in zip(d_packed, tables, _FAMS, grad_keys):
+        length = int(jnp.asarray(tbl[keys[0]]).shape[0])
+        segs = -(-length // mk.LANES)
+        d_tbl = {k: jnp.zeros_like(jnp.asarray(v, jnp.float32))
+                 for k, v in tbl.items()}
+        for i, k in enumerate(keys):
+            if k not in gkeys:
+                continue
+            d_tbl[k] = dp[i * segs:(i + 1) * segs].reshape(-1)[:length]
+        outs.append(d_tbl)
+    return tuple(outs)
+
+
+class _Const:
+    """Accessor returning the same per-lane array for ANY index — lets the
+    shared family bodies (megakernel.make_family_bodies) run once over
+    already-gathered winner parameters."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __getitem__(self, _):
+        return self.v
+
+
+@functools.lru_cache(maxsize=64)
+def _make_gather(n_keys, segs):
+    """gather(tblv [n_keys*segs,128], idx_f [s,LANES] f32) → tuple of
+    n_keys per-lane [s,LANES] arrays tblv[k, idx]. custom_vjp: the
+    backward scatters cotangents into the table with per-sublane one-hot
+    masks contracted on the MXU (Mosaic has no scatter)."""
+
+    def fwd_impl(tblv, idx_f):
+        idx = idx_f.astype(jnp.int32)
+        col = jnp.bitwise_and(idx, mk.LANES - 1)
+        seg = jnp.right_shift(idx, 7)
+        outs = []
+        for k in range(n_keys):
+            acc = jnp.zeros(idx.shape, jnp.float32)
+            for s in range(segs):
+                row = tblv[k * segs + s:k * segs + s + 1, :]
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(row, idx.shape), col, axis=1)
+                acc = jnp.where(seg == s, g, acc)
+            outs.append(acc)
+        return tuple(outs)
+
+    @jax.custom_vjp
+    def gather(tblv, idx_f):
+        return fwd_impl(tblv, idx_f)
+
+    def fwd(tblv, idx_f):
+        return fwd_impl(tblv, idx_f), idx_f
+
+    def bwd(idx_f, cots):
+        idx = idx_f.astype(jnp.int32)
+        sub = idx.shape[0]
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (mk.LANES, mk.LANES), 0)
+        seg_acc = []
+        for s in range(segs):
+            acc = jnp.zeros((n_keys, mk.LANES), jnp.float32)
+            for r in range(sub):
+                idx_row = jnp.broadcast_to(
+                    idx[r:r + 1, :], (mk.LANES, mk.LANES))
+                mask = jnp.where(
+                    iota_c == idx_row - s * mk.LANES, 1.0, 0.0)
+                c_rows = jnp.concatenate(
+                    [cots[k][r:r + 1, :] for k in range(n_keys)], axis=0)
+                # contrib[k, c] = sum_lane c_rows[k, lane] * mask[c, lane]
+                acc = acc + jax.lax.dot_general(
+                    c_rows, mask, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            seg_acc.append(acc)
+        rows = []
+        for k in range(n_keys):
+            for s in range(segs):
+                rows.append(seg_acc[s][k:k + 1, :])
+        return jnp.concatenate(rows, axis=0), jnp.zeros_like(idx_f)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+def _gather_fam(dv, keys, idx_f):
+    segs = dv.shape[0] // len(keys)
+    vals = _make_gather(len(keys), segs)(dv, idx_f)
+    return dict(zip(keys, vals))
+
+
+def _make_winner_search(sph, qd, boxes, med, *, n_sph, n_quad, n_med, n_box,
+                        shape):
+    """Production closest-hit (SMEM tables, cluster-skip hierarchy) with
+    winner tracking. Runs ONLY in the primal pre-pass — never inside
+    jax.vjp (SMEM ref reads inside lax.cond cannot be partial-evaled), so
+    the expensive sweep is traced once per bounce and contributes nothing
+    to the differentiated graph."""
+
+    def lax_loop(n, body, init, unroll=1):
+        return jax.lax.fori_loop(0, n, body, init, unroll=unroll)
+
+    def search(key, tm, carry):
+        def draw(ctr):
+            # f32 counters ride the medium resolve (per-lane winner index);
+            # Mosaic has no f32->u32 cast, so hop through i32 (values are
+            # small non-negative ints, both routes are exact).
+            c = jnp.asarray(ctr)
+            if jnp.issubdtype(c.dtype, jnp.floating):
+                c = c.astype(jnp.int32)
+            c = c.astype(jnp.uint32)
+            bits = _mix_u32(key, c)
+            return mk._uniform_from_bits(bits)
+
+        (bn, alive_f, ox, oy, oz, dx, dy, dz, *_rest) = carry
+        alive = alive_f > 0.0
+        a = dx * dx + dy * dy + dz * dz
+        bodies = mk.make_family_bodies(
+            sph, qd, boxes, med, draw=draw, tm=tm, ox=ox, oy=oy, oz=oz,
+            dx=dx, dy=dy, dz=dz, a=a, inv_a=1.0 / a, bn=bn,
+            n_med=n_med, track_index=True,
+        )
+        rec = mk._closest_hit(
+            bodies, sph, boxes, alive=alive, ox=ox, oy=oy, oz=oz,
+            dx=dx, dy=dy, dz=dz, n_sph=n_sph, n_quad=n_quad,
+            n_med=n_med, n_box=n_box, shape=shape, loop=lax_loop,
+            unroll_py=False, track_index=True,
+        )
+        # (matf, idx, famid) pin the winner for the differentiable resolve.
+        return rec[2], rec[7], rec[8]
+
+    return search
+
+
+def _make_resolve_shade(*, n_sph, n_quad, n_med, n_mat, n_tex, n_box,
+                        has_checker, has_noise, shape, max_depth):
+    """The differentiable per-bounce transition given a pinned winner
+    (matf, idx, famid): gather the winner's parameters from the packed
+    VMEM tables, rerun its family's intersection body once (the winner's
+    root choice depends only on t_min, never the running best — so this
+    reproduces the sweep's result exactly), then the shared shade tail.
+    Pure arithmetic + custom-vjp gathers: no refs, no lax control flow —
+    jax.vjp applies directly."""
+    max_depth_f = jnp.float32(max_depth)
+    sg = jax.lax.stop_gradient
+
+    def bounce(key, tm, carry, w, dv, bg_d):
+        matf_nd, idx_nd, famid_nd = w
+        dv_sph, dv_quad, dv_box, dv_med, dv_mat, dv_tex = dv
+
+        def draw(ctr):
+            # f32 counters ride the medium resolve (per-lane winner index);
+            # Mosaic has no f32->u32 cast, so hop through i32 (values are
+            # small non-negative ints, both routes are exact).
+            c = jnp.asarray(ctr)
+            if jnp.issubdtype(c.dtype, jnp.floating):
+                c = c.astype(jnp.int32)
+            c = c.astype(jnp.uint32)
+            bits = _mix_u32(key, c)
+            return mk._uniform_from_bits(bits)
+
+        (bn, alive_f, ox, oy, oz, dx, dy, dz, *_rest) = carry
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+
+        def fam_idx(code):
+            return jnp.where(famid_nd == code, idx_nd, 0.0)
+
+        gs = _gather_fam(dv_sph, _BODY_SPH, fam_idx(0.0)) if n_sph else None
+        gq = _gather_fam(dv_quad, _BODY_QUAD, fam_idx(1.0)) if n_quad else None
+        gb = _gather_fam(dv_box, _BODY_BOX, fam_idx(2.0)) if n_box else None
+        gm = _gather_fam(dv_med, _BODY_MED, fam_idx(3.0)) if n_med else None
+        med_idx = fam_idx(3.0) if n_med else 0.0
+
+        def const(d):
+            return {k: _Const(v) for k, v in d.items()} if d else {}
+
+        bodies_d = mk.make_family_bodies(
+            const(gs), const(gq), const(gb), const(gm), draw=draw, tm=tm,
+            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, a=a, inv_a=inv_a,
+            bn=bn, n_med=n_med,
+        )
+        sph_body, quad_body, box_body, med_body = bodies_d
+
+        rec = mk.init_rec(shape)
+
+        def merge(rec, rec_f, code):
+            sel = famid_nd == code
+            return tuple(jnp.where(sel, f, r) for f, r in zip(rec_f, rec))
+
+        if n_sph:
+            rec = merge(rec, sph_body(0, mk.init_rec(shape)), 0.0)
+        if n_quad:
+            rec = merge(rec, quad_body(0, mk.init_rec(shape)), 1.0)
+        if n_box:
+            rec = merge(rec, box_body(0, mk.init_rec(shape)), 2.0)
+        if n_med:
+            rec = merge(rec, med_body(med_idx, mk.init_rec(shape)), 3.0)
+
+        # ---- material/texture resolve by pinned-index gathers ------------
+        gmat = _gather_fam(dv_mat, _BODY_MAT, matf_nd)
+        mat6 = (gmat["mtype"], gmat["alr"], gmat["alg"], gmat["alb"],
+                gmat["param"], gmat["tex"])
+
+        def tex_resolve(idx_f):
+            g = _gather_fam(dv_tex, _BODY_TEX, sg(idx_f))
+            return (g["ttype"], g["alr"], g["alg"], g["alb"],
+                    g["inv_scale"], g["even"], g["odd"], g["scale"],
+                    g["ntype"], g["nslot"])
+
+        return mk._shade_advance(
+            draw, carry, rec, mat6, tex_resolve, bg_d,
+            has_checker=has_checker, has_noise=has_noise, ntab=None,
+            unroll_py=True, shape=shape, max_depth_f=max_depth_f,
+            n_med=n_med,
+        )
+
+    return bounce
+
+
+def _mix_u32(key, c):
+    return mk._mix(key ^ mk._mix(c * jnp.uint32(0x9E3779B9) + jnp.uint32(1)))
 
 
 def _grad_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
                  n_mat, n_tex, n_box, has_checker, has_noise, sublanes,
                  fwd_tile_r, fwd_block, linear_slots, n_samples):
     (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs,
-     g_r, g_g, g_b) = refs_in
-    (d_camv, d_bg, d_sph, d_quad, d_box, d_med, d_mat, d_tex) = refs_out
+     dv_refs, g_r, g_g, g_b) = refs_in
+    (d_camv, d_bg, *d_dv) = refs_out
     shape = (sublanes, mk.LANES)
     tile_r = sublanes * mk.LANES
 
     @pl.when(pl.program_id(0) == 0)
     def _zero():
-        for ref in refs_out:
-            if len(ref.shape) == 1:
-                for i in range(ref.shape[0]):
-                    ref[i] = 0.0
-            else:
-                for i in range(ref.shape[0]):
-                    for j in range(ref.shape[1]):
-                        ref[i, j] = 0.0
+        for i in range(N_CAMV_DIFF):
+            d_camv[i] = 0.0
+        for i in range(3):
+            d_bg[i] = 0.0
+        for ref in d_dv:
+            ref[...] = jnp.zeros(ref.shape, jnp.float32)
 
     slot_i = (
         pl.program_id(0) * tile_r
@@ -129,49 +394,20 @@ def _grad_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
     gg = g_g[...]
     gb = g_b[...]
 
-    # ---- vjp inputs: diff table columns as lists of traced scalars -------
-    def cols(ref_dict, keys, n):
-        return {k: _read_scalars(ref_dict[k], n) for k in keys}
-
-    def nondiff_cols(ref_dict, all_keys, diff_keys, n):
-        return {k: _read_scalars(ref_dict[k], n)
-                for k in all_keys if k not in diff_keys}
-
-    # Families with zero active records are never swept by _make_bounce, but
-    # keep 1-entry lists so dict construction stays uniform.
-    ns, nq, nb, nm = max(n_sph, 1), max(n_quad, 1), max(n_box, 1), max(n_med, 1)
-    sph_d = cols(sph, GRAD_SPH_KEYS, ns) if n_sph else {}
-    qd_d = cols(qd, GRAD_QUAD_KEYS, nq) if n_quad else {}
-    box_d = cols(boxes, GRAD_BOX_KEYS, nb) if n_box else {}
-    med_d = cols(med, GRAD_MED_KEYS, nm) if n_med else {}
-    mat_d = cols(mats, GRAD_MAT_KEYS, n_mat)
-    tex_d = cols(texs, GRAD_TEX_KEYS, n_tex)
     camv_d = [camv[i] for i in range(N_CAMV_DIFF)]
     bg_d = [bg_r[0], bg_r[1], bg_r[2]]
+    dv_vals = tuple(r[...] for r in dv_refs)
+    diff0 = (camv_d, bg_d) + dv_vals
 
-    sph_nd = nondiff_cols(sph, ("mat", "act"), (), ns)
-    qd_nd = nondiff_cols(qd, ("mat",), (), nq)
-    box_nd = nondiff_cols(boxes, ("mat", "act"), (), nb)
-    med_nd = nondiff_cols(
-        med, tuple(k for k in mk._MED_KEYS if k not in GRAD_MED_KEYS), (), nm)
-    mat_nd = nondiff_cols(mats, ("mtype", "tex"), (), n_mat)
-    tex_nd = nondiff_cols(
-        texs, tuple(k for k in mk._TEX_KEYS if k not in GRAD_TEX_KEYS), (),
-        n_tex)
+    kw = dict(n_sph=n_sph, n_quad=n_quad, n_med=n_med, n_box=n_box,
+              shape=shape)
+    search = _make_winner_search(sph, qd, boxes, med, **kw)
+    bounce = _make_resolve_shade(
+        n_mat=n_mat, n_tex=n_tex, has_checker=has_checker,
+        has_noise=has_noise, max_depth=max_depth, **kw,
+    )
 
-    diff0 = (camv_d, bg_d, sph_d, qd_d, box_d, med_d, mat_d, tex_d)
-
-    def replay(diff, key, s_f):
-        """One sample's full path for every lane — the differentiable
-        function. Identical math to the v4 kernel's trace (shared bodies,
-        Python-unrolled)."""
-        camvv, bgv, sphd, qdd, boxd, medd, matd, texd = diff
-        sph_t = {**sph_nd, **sphd}
-        qd_t = {**qd_nd, **qdd}
-        box_t = {**box_nd, **boxd}
-        med_t = {**med_nd, **medd}
-        mat_t = {**mat_nd, **matd}
-        tex_t = {**tex_nd, **texd}
+    def camera_rays(camvv, key, s_f):
         ox, oy, oz, dx, dy, dz, tm = mk.camera_ray(
             camvv, xx, yy, sqrt_spp, s_f, key)
         # Dead (out-of-grid) lanes get a dummy unit ray: their alive=0 mask
@@ -183,46 +419,49 @@ def _grad_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         dx = jnp.where(in_grid, dx, 0.0)
         dy = jnp.where(in_grid, dy, 0.0)
         dz = jnp.where(in_grid, dz, 1.0)
-        bounce = mk._make_bounce(
-            sph_t, qd_t, box_t, med_t, mat_t, tex_t, bgv,
-            max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
-            n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
-            has_noise=has_noise, shape=shape, unroll_py=True,
-        )
         zero = jnp.zeros(shape)
         one = jnp.ones(shape)
-        carry = (zero, alive0, ox, oy, oz, dx, dy, dz,
-                 one, one, one, zero, zero, zero)
+        return (zero, alive0, ox, oy, oz, dx, dy, dz,
+                one, one, one, zero, zero, zero), tm
+
+    def primal_winners(key, s_f):
+        """Pre-pass OUTSIDE the vjp: advance the primal path with the
+        production sweep, pinning each bounce's winner. The state advance
+        uses the SAME resolve+shade as the differentiable replay, so the
+        replay's primal trajectory matches this one exactly."""
+        carry, tm = camera_rays(camv_d, key, s_f)
+        winners = []
         for _ in range(max_depth):
-            carry = bounce(key, tm, carry)
+            w = search(key, tm, carry)
+            winners.append(w)
+            carry = bounce(key, tm, carry, w, dv_vals, bg_d)
+        return winners
+
+    def replay(diff, key, s_f, winners):
+        """One sample's full path for every lane — the differentiable
+        function (same per-lane math as the v4 kernel's trace), with the
+        hit sequence pinned by the pre-pass."""
+        camvv, bgv = diff[0], diff[1]
+        dv = diff[2:]
+        carry, tm = camera_rays(camvv, key, s_f)
+        for w in winners:
+            carry = bounce(key, tm, carry, w, dv, bgv)
         return carry[11], carry[12], carry[13]
 
     def sample_body(si, _):
         s_f = s0 + si.astype(jnp.float32)
         key = mk.v4_sample_key(seed_i, pid_u, s_f)
-        _, vjp_fn = jax.vjp(lambda d: replay(d, key, s_f), diff0)
+        winners = primal_winners(key, s_f)
+        _, vjp_fn = jax.vjp(
+            lambda d: replay(d, key, s_f, winners), diff0)
         (d,) = vjp_fn((gr, gg, gb))
-        dcamv, dbg, dsph, dqd, dbox, dmed, dmat, dtex = d
+        dcamv, dbg = d[0], d[1]
         for i in range(N_CAMV_DIFF):
             d_camv[i] = d_camv[i] + dcamv[i]
         for i in range(3):
             d_bg[i] = d_bg[i] + dbg[i]
-
-        def acc(ref, dvals, keys, n):
-            for r, k in enumerate(keys):
-                for p in range(n):
-                    ref[r, p] = ref[r, p] + dvals[k][p]
-
-        if n_sph:
-            acc(d_sph, dsph, GRAD_SPH_KEYS, n_sph)
-        if n_quad:
-            acc(d_quad, dqd, GRAD_QUAD_KEYS, n_quad)
-        if n_box:
-            acc(d_box, dbox, GRAD_BOX_KEYS, n_box)
-        if n_med:
-            acc(d_med, dmed, GRAD_MED_KEYS, n_med)
-        acc(d_mat, dmat, GRAD_MAT_KEYS, n_mat)
-        acc(d_tex, dtex, GRAD_TEX_KEYS, n_tex)
+        for ref, dval in zip(d_dv, d[2:]):
+            ref[...] = ref[...] + dval
         return 0
 
     jax.lax.fori_loop(0, n_samples, sample_body, 0)
@@ -237,19 +476,22 @@ def _grad_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
 def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
                has_checker, has_noise, sizes, interpret, fwd_sublanes,
                linear_slots, n_samples):
-    """Launch the backward kernel; returns cotangent arrays keyed like the
-    forward inputs (active-record prefix only — caller pads)."""
+    """Launch the backward kernel; returns cotangent arrays for
+    (camv[:19], background, packed diff tables)."""
     sph, qd, boxes, med, mats, texs = tables
     n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
     sublanes = GRAD_SUBLANES
     tile_r = sublanes * mk.LANES
     assert n_rays % tile_r == 0, (n_rays, tile_r)
     rows = n_rays // mk.LANES
-    fwd_tile_r, fwd_block = mk.tile_block(fwd_sublanes)
+    fwd_tile_r, fwd_block = mk.tile_block(fwd_sublanes, linear_slots)
     grid = n_rays // tile_r
     ray_spec = pl.BlockSpec((sublanes, mk.LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    dv = pack_diff_tables(tables)
 
     kw = dict(
         max_depth=max_depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
@@ -261,23 +503,17 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
     def kern(*refs):
         camv_r, seedi_r, bg_r = refs[0], refs[1], refs[2]
         pos = 3
-        sph_r = dict(zip(mk._SPH_KEYS, refs[pos:pos + len(mk._SPH_KEYS)]))
-        pos += len(mk._SPH_KEYS)
-        qd_r = dict(zip(mk._QUAD_KEYS, refs[pos:pos + len(mk._QUAD_KEYS)]))
-        pos += len(mk._QUAD_KEYS)
-        box_r = dict(zip(mk._BOX_KEYS, refs[pos:pos + len(mk._BOX_KEYS)]))
-        pos += len(mk._BOX_KEYS)
-        med_r = dict(zip(mk._MED_KEYS, refs[pos:pos + len(mk._MED_KEYS)]))
-        pos += len(mk._MED_KEYS)
-        mat_r = dict(zip(mk._MAT_KEYS, refs[pos:pos + len(mk._MAT_KEYS)]))
-        pos += len(mk._MAT_KEYS)
-        tex_r = dict(zip(mk._TEX_KEYS, refs[pos:pos + len(mk._TEX_KEYS)]))
-        pos += len(mk._TEX_KEYS)
+        tdicts = []
+        for keys in (mk._SPH_KEYS, mk._QUAD_KEYS, mk._BOX_KEYS,
+                     mk._MED_KEYS, mk._MAT_KEYS, mk._TEX_KEYS):
+            tdicts.append(dict(zip(keys, refs[pos:pos + len(keys)])))
+            pos += len(keys)
+        dv_refs = refs[pos:pos + 6]
+        pos += 6
         g_refs = refs[pos:pos + 3]
         outs = refs[pos + 3:]
         _grad_kernel(
-            (camv_r, seedi_r, bg_r, sph_r, qd_r, box_r, med_r, mat_r, tex_r,
-             *g_refs),
+            (camv_r, seedi_r, bg_r, *tdicts, dv_refs, *g_refs),
             outs, **kw,
         )
 
@@ -286,18 +522,14 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
     out_shapes = (
         jax.ShapeDtypeStruct((N_CAMV_DIFF,), jnp.float32),
         jax.ShapeDtypeStruct((3,), jnp.float32),
-        jax.ShapeDtypeStruct((len(GRAD_SPH_KEYS), max(n_sph, 1)), jnp.float32),
-        jax.ShapeDtypeStruct((len(GRAD_QUAD_KEYS), max(n_quad, 1)), jnp.float32),
-        jax.ShapeDtypeStruct((len(GRAD_BOX_KEYS), max(n_box, 1)), jnp.float32),
-        jax.ShapeDtypeStruct((len(GRAD_MED_KEYS), max(n_med, 1)), jnp.float32),
-        jax.ShapeDtypeStruct((len(GRAD_MAT_KEYS), max(n_mat, 1)), jnp.float32),
-        jax.ShapeDtypeStruct((len(GRAD_TEX_KEYS), max(n_tex, 1)), jnp.float32),
-    )
+    ) + tuple(jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in dv)
+    out_specs = (smem_spec, smem_spec) + tuple(vmem_full for _ in dv)
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[smem_spec] * (3 + n_tables) + [ray_spec] * 3,
-        out_specs=tuple(smem_spec for _ in out_shapes),
+        in_specs=([smem_spec] * (3 + n_tables) + [vmem_full] * 6
+                  + [ray_spec] * 3),
+        out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -313,6 +545,7 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
         *(med[k] for k in mk._MED_KEYS),
         *(mats[k] for k in mk._MAT_KEYS),
         *(texs[k] for k in mk._TEX_KEYS),
+        *dv,
         g[:, 0].reshape(rows, mk.LANES),
         g[:, 1].reshape(rows, mk.LANES),
         g[:, 2].reshape(rows, mk.LANES),
@@ -325,7 +558,6 @@ def _make_diff_render(n_rays, max_depth, has_checker, has_noise, sizes,
                       interpret, fwd_sublanes, wave_frac, linear_slots,
                       n_samples):
     """custom_vjp-wrapped megakernel render for one static config."""
-    n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
     fwd_kw = dict(
         n_rays=n_rays, max_depth=max_depth, has_checker=has_checker,
         has_noise=has_noise, sizes=sizes, interpret=interpret,
@@ -351,29 +583,15 @@ def _make_diff_render(n_rays, max_depth, has_checker, has_noise, sizes,
         if grad_pad:
             g = jnp.concatenate(
                 [g, jnp.zeros((grad_pad, 3), jnp.float32)], axis=0)
-        (dcamv, dbg, dsph, dqd, dbox, dmed, dmat, dtex) = _grad_call(
+        outs = _grad_call(
             camv, seedi, tables, background, g,
             n_rays=n_rays + grad_pad, max_depth=max_depth,
             has_checker=has_checker, has_noise=has_noise, sizes=sizes,
             interpret=interpret, fwd_sublanes=fwd_sublanes,
             linear_slots=linear_slots, n_samples=n_samples,
         )
-        sph, qd, boxes, med, mats, texs = tables
-
-        def expand(table, dvals, keys, n):
-            out = {k: jnp.zeros_like(v) for k, v in table.items()}
-            for r, k in enumerate(keys):
-                out[k] = out[k].at[:n].set(dvals[r, :n]) if n else out[k]
-            return out
-
-        d_tables = (
-            expand(sph, dsph, GRAD_SPH_KEYS, n_sph),
-            expand(qd, dqd, GRAD_QUAD_KEYS, n_quad),
-            expand(boxes, dbox, GRAD_BOX_KEYS, n_box),
-            expand(med, dmed, GRAD_MED_KEYS, n_med),
-            expand(mats, dmat, GRAD_MAT_KEYS, n_mat),
-            expand(texs, dtex, GRAD_TEX_KEYS, n_tex),
-        )
+        dcamv, dbg = outs[0], outs[1]
+        d_tables = _unpack_diff_cotangent(outs[2:], tables)
         d_camv = jnp.zeros((mk._CAMV_LEN,), jnp.float32).at[:N_CAMV_DIFF].set(dcamv)
         d_seedi = np.zeros((1,), dtype=jax.dtypes.float0)
         return d_camv, d_seedi, d_tables, dbg
@@ -389,9 +607,9 @@ def trace_megakernel_batch_diff(camv, seedi, tables, background, *, n_rays,
                                 linear_slots=False, n_samples=1):
     """Differentiable drop-in for megakernel.trace_megakernel_batch.
 
-    Forward: the fast v4 kernel, untouched. Backward: the replay-vjp kernel
-    (see module docstring). ``n_samples`` must be the STATIC sample count
-    the camv batch encodes (the backward loops over it in-kernel).
+    Forward: the fast v4 kernel, untouched. Backward: the indexed-replay
+    kernel (see module docstring). ``n_samples`` must be the STATIC sample
+    count the camv batch encodes (the backward loops over it in-kernel).
     """
     fn = _make_diff_render(
         n_rays, max_depth, has_checker, has_noise, tuple(sizes),

@@ -63,9 +63,13 @@ _STATE_KEYS = ("s_lane", "pid", "bn", "al", "ox", "oy", "oz",
 SORT_SUBLANES = 24
 # Two-phase schedule defaults (overridable via features mega_k_bounces /
 # mega_tail_k / mega_tail_frac; see trace_wavefront_batch docstring).
+# Swept on-chip (book2 600^2 @ 32 spp, docs/STATUS_R4.md): single-phase
+# K=16 4.49 Mpaths/s; K=1 phase-1 with a K=16 tail peaks 5.6-5.75 around
+# tail_frac 0.5-0.65 (+25%) — K=1 waves only pay while regeneration keeps
+# them camera-coherent; the straggler tail needs big launches.
 K_BOUNCES = 1
 TAIL_K = 16
-TAIL_FRAC = 0.2
+TAIL_FRAC = 0.65
 
 
 class _View:

@@ -229,6 +229,103 @@ def render_grad_sharded(scene, features, target, seed, *, width, height,
     return go(scene, pixel_ids, tgt_flat, weights)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("features", "width", "height", "max_depth", "sqrt_spp",
+                     "n_samples", "mesh"),
+)
+def render_grad_sharded_mega(scene, features, target, seed, *, width, height,
+                             max_depth, sqrt_spp, n_samples, mesh):
+    """Distributed fwd+bwd at kernel speed: every device renders its slot
+    tile with the v4 megakernel and backpropagates through the
+    indexed-replay VJP kernel (ops/pallas/megakernel_grad.py) — forward
+    AND backward are Pallas kernels on every chip.
+
+    Mesh semantics: 'dp' shards kernel slot tiles (global pixel offsets
+    keep RNG streams and stratification bitwise-identical to one device);
+    'sp' ranks render DISJOINT sample blocks of the same pixels, psum'd
+    into the image before the loss (total samples = n_samples * sp). The
+    FlatScene cotangent is psum'd over both axes — gradient-all-reduce
+    data parallelism, riding ICI (SURVEY.md §2.12).
+    Returns (loss, d loss/d scene)."""
+    features = dict(features)
+    from raytrace2_tpu.ops.integrator import (_render_batch_megakernel,
+                                              mega_schedule)
+    from raytrace2_tpu.ops.pallas import megakernel as mk
+
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    sublanes, _, linear, _ = mega_schedule(features)
+    tile_r, _ = mk.tile_block(sublanes, linear)
+    n_slots, slot_of_pixel = mk.pixel_slots(width, height, sublanes, linear)
+    chunk = -(-n_slots // (dp * tile_r)) * tile_r
+    n_pad_slots = chunk * dp
+    flat_slots = slot_of_pixel.reshape(-1)
+    tgt_slots = jnp.zeros((n_pad_slots, 3), jnp.float32
+                          ).at[flat_slots].set(target.reshape(-1, 3))
+    w_slots = jnp.zeros((n_pad_slots,), jnp.float32).at[flat_slots].set(1.0)
+    pix0_arr = jnp.arange(dp, dtype=jnp.int32) * chunk
+    sp_arr = jnp.arange(sp, dtype=jnp.int32)
+    total_samples = n_samples * sp
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("sp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def go(scene, my_sp, my_pix0, my_tgt, my_w):
+        def local_loss(scene):
+            r = _render_batch_megakernel(
+                scene, features, width, height, my_sp[0] * n_samples,
+                n_samples, seed, max_depth, sqrt_spp,
+                pix0=my_pix0[0], n_local=chunk, differentiable=True,
+            )
+            img = jax.lax.psum(r, "sp") / total_samples
+            return jnp.sum(my_w[:, None] * (img - my_tgt) ** 2)
+
+        loss, g = jax.value_and_grad(local_loss, allow_int=True)(scene)
+        loss = jax.lax.psum(loss, "dp")
+
+        def reduce_leaf(x):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                return jax.lax.psum(x, ("sp", "dp"))
+            return x
+
+        return loss, jax.tree_util.tree_map(reduce_leaf, g)
+
+    return go(scene, sp_arr, pix0_arr, tgt_slots, w_slots)
+
+
+def grad_sharded_auto(scene, features, target, seed, *, width, height,
+                      max_depth, sqrt_spp, n_samples, mesh):
+    """Distributed value-and-grad with backend selection: the Pallas
+    fwd+bwd kernels whenever the scene is within the gradient kernel's
+    scope (any corpus scene at corpus depths since the indexed replay),
+    else the scan-based XLA path (render_grad_sharded)."""
+    feats = dict(features) if not isinstance(features, dict) else features
+    if (
+        feats.get("use_megakernel", False)
+        and feats.get("mega_sizes") is not None
+        and feats.get("noise_impl", "hash") == "hash"
+    ):
+        from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
+
+        if mkg.grad_supported(tuple(feats["mega_sizes"]), max_depth,
+                              bool(feats.get("has_noise", False))):
+            return render_grad_sharded_mega(
+                scene, features, target, seed, width=width, height=height,
+                max_depth=max_depth, sqrt_spp=sqrt_spp,
+                n_samples=n_samples, mesh=mesh,
+            )
+    return render_grad_sharded(
+        scene, features, target, seed, width=width, height=height,
+        max_depth=max_depth, sqrt_spp=sqrt_spp, n_samples=n_samples,
+        mesh=mesh,
+    )
+
+
 def train_step_analog(scene, features, state, seed, *, width, height, max_depth,
                       sqrt_spp, samples_per_device, mesh):
     """One distributed accumulation step: the renderer's 'training step'.

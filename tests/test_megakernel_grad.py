@@ -168,3 +168,135 @@ def test_grads_finite_everywhere(tmp_path):
     for path, leaf in jax.tree_util.tree_leaves_with_path(g):
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
             assert np.isfinite(np.asarray(leaf)).all(), f"non-finite at {path}"
+
+
+def _many_spheres_scene(tmp_path, n=80):
+    """A scene past the round-2 64-record unroll gate: the indexed replay
+    must handle it (winner search via the production hierarchy sweep +
+    O(1) per-bounce resolve; megakernel_grad.py module docstring)."""
+    rs = np.random.RandomState(7)
+    prims = [{"type": "quad", "q": [-30, 0, -30], "u": [60, 0, 0],
+              "v": [0, 0, 60], "material": 0}]
+    for i in range(n):
+        prims.append({
+            "type": "sphere",
+            "center": [float(rs.uniform(-6, 6)), float(rs.uniform(0.2, 1.0)),
+                       float(rs.uniform(-6, 6))],
+            "radius": float(rs.uniform(0.15, 0.45)),
+            "material": int(rs.randint(0, 3)),
+        })
+    j = {
+        "background_color": [0.6, 0.65, 0.75],
+        "camera": {"fov": 55, "center": [0, 3, 9], "look_at": [0, 0.5, 0]},
+        "materials": [
+            {"type": "lambertian", "albedo": [0.5, 0.5, 0.5]},
+            {"type": "metal", "albedo": [0.85, 0.85, 0.9], "fuzz": 0.1},
+            {"type": "lambertian", "albedo": [0.7, 0.3, 0.2]},
+        ],
+        "primitives": prims,
+    }
+    return _make(tmp_path, j, "many.json")
+
+
+def test_ad_matches_fd_hier_sweep(tmp_path):
+    """40 records — past the cluster-hierarchy threshold (n_sph >= 32), so
+    the winner search runs the production _hier_sweep while the resolve
+    stays O(1): AD must track FD on a continuous leaf."""
+    scene, features = _many_spheres_scene(tmp_path, n=40)
+    kw = dict(width=8, height=6, n_samples=1, max_depth=4, sqrt_spp=1)
+
+    from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
+    sizes = dict(features)["mega_sizes"]
+    assert sizes[0] >= 32, sizes
+    assert mkg.grad_supported(tuple(sizes), kw["max_depth"], False)
+
+    def set_leaf(delta):
+        return dataclasses.replace(scene, materials=dataclasses.replace(
+            scene.materials,
+            albedo=scene.materials.albedo.at[0, 1].add(delta)))
+
+    @jax.jit
+    def f(delta):
+        return jnp.mean(grad_mod.render_image(set_leaf(delta), features, 0,
+                                              **kw))
+
+    got = float(jax.grad(f)(0.0))
+    eps = 1e-3
+    want = float((f(eps) - f(-eps)) / (2 * eps))
+    assert np.isfinite(got)
+    assert got == pytest.approx(want, rel=2e-2, abs=1e-5), (got, want)
+
+
+@pytest.mark.slow  # ~20+ min interpret-mode compile (depth-17 replay graph)
+def test_ad_matches_fd_beyond_old_gates(tmp_path):
+    """>64 records AND depth>16 — the regime the round-2 kernel refused
+    (GRAD_MAX_RECORDS/GRAD_MAX_DEPTH): AD must track FD on a continuous
+    leaf, through the hierarchy-swept winner search. (Depth 50 is proven
+    on the real chip by ``bench.py --grad``; see BASELINE.md.)"""
+    scene, features = _many_spheres_scene(tmp_path)
+    kw = dict(width=8, height=6, n_samples=1, max_depth=17, sqrt_spp=1)
+
+    from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
+    sizes = dict(features)["mega_sizes"]
+    assert not (sizes[0] + sizes[1] + sizes[5] + sizes[4] <= 64), sizes
+    assert mkg.grad_supported(tuple(sizes), kw["max_depth"], False)
+
+    def set_leaf(delta):
+        return dataclasses.replace(scene, materials=dataclasses.replace(
+            scene.materials,
+            albedo=scene.materials.albedo.at[0, 1].add(delta)))
+
+    @jax.jit
+    def f(delta):
+        return jnp.mean(grad_mod.render_image(set_leaf(delta), features, 0,
+                                              **kw))
+
+    got = float(jax.grad(f)(0.0))
+    eps = 1e-3
+    want = float((f(eps) - f(-eps)) / (2 * eps))
+    assert np.isfinite(got)
+    assert got == pytest.approx(want, rel=2e-2, abs=1e-5), (got, want)
+
+
+def test_grad_media_scene_finite(tmp_path):
+    """Medium + box + checker in one scene: every family's resolve path runs
+    (sphere/quad/box/medium) and gradients stay finite; the medium's
+    density leaf (neg_inv_density chain) gets a nonzero cotangent."""
+    j = {
+        "background_color": [0.4, 0.45, 0.55],
+        "camera": {"fov": 50, "center": [0, 2, 6], "look_at": [0, 0.8, 0]},
+        "textures": [
+            {"type": "solid_color", "albedo": [0.9, 0.2, 0.2]},
+            {"type": "solid_color", "albedo": [0.2, 0.9, 0.2]},
+            {"type": "checker", "scale": 2.0, "even_tex_idx": 0,
+             "odd_tex_idx": 1},
+        ],
+        "materials": [
+            {"type": "texture", "tex_idx": 2},
+            {"type": "lambertian", "albedo": [0.6, 0.6, 0.7]},
+        ],
+        "primitives": [
+            {"type": "quad", "q": [-20, 0, -20], "u": [40, 0, 0],
+             "v": [0, 0, 40], "material": 0},
+            {"type": "box", "a": [-2.5, 0, -1], "b": [-1.0, 1.2, 0.2],
+             "material": 1},
+            {"type": "sphere", "center": [1.2, 0.9, 0], "radius": 0.9,
+             "material": 0,
+             "constant_medium": {"density": 0.8, "albedo": [0.3, 0.5, 0.9]}},
+        ],
+    }
+    scene, features = _make(tmp_path, j, "media.json")
+    kw = dict(width=8, height=6, n_samples=1, max_depth=4, sqrt_spp=1)
+
+    def loss(img):
+        return jnp.mean(img)
+
+    _, g = grad_mod.value_and_grad_scene(loss, scene, features, 0, **kw)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert np.isfinite(np.asarray(leaf)).all(), f"non-finite at {path}"
+    # Albedo gradients are the continuous signal on an all-solid scene
+    # (radiance is piecewise-constant in geometry under the detached
+    # estimator, so e.g. d/d neg_inv_density is exactly zero here — the
+    # geometry-gradient FD checks live in the noise-scene tests).
+    assert float(jnp.abs(jnp.asarray(g.materials.albedo)).max()) > 0.0

@@ -190,3 +190,48 @@ def test_sharded_wavefront_matches_single_device(cornell, sp, dp):
         assert np.array_equal(shard, single), "dp-only layout must be bitwise"
     else:
         np.testing.assert_allclose(shard, single, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("sp,dp,ns_shard,ns_single", [(1, 8, 2, 2),
+                                                      (2, 4, 1, 2)])
+def test_distributed_mega_grad_matches_single_device(cornell, sp, dp,
+                                                     ns_shard, ns_single):
+    """Distributed fwd+bwd through the Pallas kernels
+    (sharding.render_grad_sharded_mega: v4 forward + indexed-replay VJP on
+    every device, cotangents psum'd) == the single-device megakernel VJP.
+    sp ranks render disjoint sample blocks, so (sp=2, n=1) covers the same
+    sample set as single-device n=2."""
+    from raytrace2_tpu import grad as grad_mod
+
+    scene, features = cornell
+    # mega_sublanes=8 + depth 2: interpret-mode compile of the shard_map'd
+    # fwd+bwd kernels grows ~3x per extra bounce and ~4x per tile-size
+    # step — this config keeps the test ~1 min (semantics are identical).
+    feat = dict(features, use_megakernel=True, mega_interpret=True,
+                mega_sublanes=8)
+    w, h = 16, 16
+    target = jnp.zeros((h, w, 3))
+
+    mesh = sharding.make_mesh(sp=sp, dp=dp)
+    loss_d, g_d = sharding.render_grad_sharded_mega(
+        scene, tuple(sorted(feat.items())), target, 0,
+        width=w, height=h, max_depth=2, sqrt_spp=1, n_samples=ns_shard,
+        mesh=mesh,
+    )
+
+    def loss_fn(img):
+        return jnp.sum((img - target) ** 2)
+
+    loss_s, g_s = grad_mod.value_and_grad_scene(
+        loss_fn, scene, tuple(sorted(feat.items())), 0,
+        width=w, height=h, max_depth=2, sqrt_spp=1, n_samples=ns_single,
+    )
+    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_d.materials.albedo), np.asarray(g_s.materials.albedo),
+        rtol=1e-3, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_d.camera.center), np.asarray(g_s.camera.center),
+        rtol=1e-3, atol=1e-6,
+    )
