@@ -109,6 +109,55 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+class _KeyControls:
+    """Non-blocking single-key control of a running render — the headless
+    analog of the reference's ImGui runtime panel (App.cpp:210-229: frame
+    count, scene hot-load, tracer Reset). Active only when stdin is a TTY;
+    everywhere else ``poll`` is a no-op so piped/CI runs are unaffected.
+
+    Keys: q finish now (write image + exit) · w write a snapshot now ·
+    r reset accumulation · c write the camera JSON (WriteCamera parity,
+    src/Serialize.cpp:47-54)."""
+
+    def __init__(self, enabled: bool):
+        self.active = False
+        if not enabled:
+            return
+        try:
+            import termios
+            import tty
+
+            self._fd = sys.stdin.fileno()
+            if not os.isatty(self._fd):
+                return
+            self._termios = termios
+            self._saved = termios.tcgetattr(self._fd)
+            tty.setcbreak(self._fd)
+            self.active = True
+        except Exception:
+            self.active = False
+
+    def poll(self) -> str:
+        """Drain pending keypresses; returns them as a string ('' if none)."""
+        if not self.active:
+            return ""
+        import select
+
+        keys = []
+        while True:
+            ready, _, _ = select.select([sys.stdin], [], [], 0)
+            if not ready:
+                break
+            keys.append(sys.stdin.read(1))
+        return "".join(keys)
+
+    def close(self) -> None:
+        if self.active:
+            self._termios.tcsetattr(
+                self._fd, self._termios.TCSADRAIN, self._saved)
+            self.active = False
+
+
 def _device_mem_bytes():
     """Bytes in use on the render device, when the backend reports it
     (TPU/GPU expose memory_stats; CPU returns None)."""
@@ -213,6 +262,9 @@ def main(argv=None) -> int:
     first_frame = True
     watch = args.watch or args.live
     watch_mtime = os.stat(scene_path).st_mtime if watch else None
+    keys = _KeyControls(enabled=args.live or args.watch)
+    if keys.active:
+        log("Keys: [q]uit+save  [w]rite snapshot  [r]eset  [c]amera save")
     while renderer.frame_idx < total:
         if watch:
             try:
@@ -263,10 +315,35 @@ def main(argv=None) -> int:
                 rec["device_mem_bytes"] = mem
             with open(args.metrics, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+        pressed = keys.poll()
+        if pressed:
+            if "r" in pressed:
+                renderer.reset()
+                t0 = time.perf_counter()
+                done0 = 0
+                log("Accumulation reset")
+            if "w" in pressed:
+                image_io.write_image(renderer.linear_pixels(), out_path)
+                log(f"Snapshot written: {out_path}")
+            if "c" in pressed:
+                cam_path = out_path + ".camera.json"
+                loader.write_camera(renderer.scene.camera, cam_path)
+                log(f"Camera written: {cam_path}")
+            if "q" in pressed:
+                log("Quit requested — writing image")
+                break
         if args.live:
             from raytrace2_tpu.io import term
 
-            term.redraw(renderer.linear_pixels(), args.live_cols, first=first_frame)
+            dt = time.perf_counter() - t0
+            term.redraw(
+                renderer.linear_pixels(), args.live_cols, first=first_frame,
+                status=(
+                    f"sample {i}/{total}  "
+                    f"{(i - done0) * rays_per_sample / max(dt, 1e-9) / 1e6:.2f}"
+                    " Mpaths/s" + ("  [q/w/r/c]" if keys.active else "")
+                ),
+            )
             first_frame = False
         if not args.quiet and not args.live:
             dt = time.perf_counter() - t0
@@ -279,6 +356,7 @@ def main(argv=None) -> int:
         if args.checkpoint and args.checkpoint_every and i % args.checkpoint_every == 0:
             ckpt_io.save_state(args.checkpoint, renderer.state)
 
+    keys.close()
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
     if args.metrics:

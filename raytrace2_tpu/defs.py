@@ -4,23 +4,35 @@ Mirrors the semantics of the reference's foundational definitions
 (reference: src/Defs.hpp:4-27, src/cpu_raytrace/Interval.cpp:7-13):
 
 * ``real`` is float32 (the reference compiles without ``DOUBLE``).
-* "Infinity" is float32 max, **not** IEEE inf — the reference defines
-  ``kInfinity = std::numeric_limits<real>::max()`` (src/Defs.hpp:7) and all
-  interval arithmetic relies on that. We keep the same convention so that
-  interval tests behave identically and no inf*0 NaNs appear under jit.
+  ``RAYTRACE2_DOUBLE=1`` in the environment is the ``#define DOUBLE`` analog
+  (src/Defs.hpp:4-7): REAL becomes float64 and jax x64 mode is enabled —
+  a CPU-side verification mode (the oracle tests can compare f32 renders
+  against f64 ground truth; TPUs have no native f64, so the production
+  kernels stay f32 by design).
+* "Infinity" is the REAL type's max, **not** IEEE inf — the reference
+  defines ``kInfinity = std::numeric_limits<real>::max()`` (src/Defs.hpp:7)
+  and all interval arithmetic relies on that. We keep the same convention so
+  that interval tests behave identically and no inf*0 NaNs appear under jit.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
 # float32 everywhere on the compute path; geometry in bf16 loses too much
 # precision for ray intersection, so bf16 is not used for the tracer core.
-REAL = np.float32
+DOUBLE = os.environ.get("RAYTRACE2_DOUBLE", "") not in ("", "0")
+REAL = np.float64 if DOUBLE else np.float32
 INDEX = np.int32
+if DOUBLE:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
 
 # Reference: src/Defs.hpp:7 — numeric max, not inf.
-INFINITY = REAL(np.finfo(np.float32).max)
+INFINITY = REAL(np.finfo(REAL).max)
 
 # Minimum hit distance for shading rays (reference: src/cpu_raytrace/RayTracer.cpp:25).
 T_MIN = REAL(1e-3)

@@ -40,9 +40,14 @@ def ansi_frame(linear: np.ndarray, max_cols: int = 100) -> str:
     return "\n".join(lines)
 
 
-def redraw(linear: np.ndarray, max_cols: int = 100, first: bool = False) -> None:
-    """Print a frame, rewinding the cursor over the previous one."""
+def redraw(linear: np.ndarray, max_cols: int = 100, first: bool = False,
+           status: str = "") -> None:
+    """Print a frame (plus an optional status line under it — the headless
+    analog of the reference's frame-count panel, App.cpp:212-213),
+    rewinding the cursor over the previous one."""
     frame = ansi_frame(linear, max_cols)
+    if status:
+        frame += "\n\x1b[2K" + status
     n_lines = frame.count("\n") + 1
     if not first:
         print(f"\x1b[{n_lines}A", end="")

@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from raytrace2_tpu import defs
+
 from raytrace2_tpu.ops import rng
 
 
@@ -86,8 +88,8 @@ def generate_rays(cam, width: int, height: int, sample_idx, sqrt_spp, keys,
     frame = camera_frame(cam, width, height)
     if pixel_ids is None:
         pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
-    xs = (pixel_ids % width).astype(jnp.float32)
-    ys = (pixel_ids // width).astype(jnp.float32)
+    xs = (pixel_ids % width).astype(defs.REAL)
+    ys = (pixel_ids // width).astype(defs.REAL)
 
     s_i, s_j = stratum(sample_idx, sqrt_spp)
     if uniforms is None:

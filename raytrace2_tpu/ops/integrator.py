@@ -23,6 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from raytrace2_tpu import defs
 from raytrace2_tpu.ops import camera as camera_ops
 from raytrace2_tpu.ops import intersect, materials, rng
 
@@ -394,9 +395,29 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
     if differentiable:
         from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
 
+        wavefront_kw = None
+        if wavefront:
+            from raytrace2_tpu.ops.pallas import wavefront_sorted as wf
+
+            # Big scenes: the primal inside the custom_vjp runs the
+            # sorted-wavefront kernel (bitwise-identical to v4, ~2x
+            # faster on book2) with the same scheduling knobs as the
+            # non-differentiable path.
+            kernel_kw.pop("wave_frac")
+            kernel_kw.pop("linear_slots")
+            kernel_kw["linear_slots"] = True
+            wavefront_kw = dict(
+                sort_every=int(features.get("mega_sort_every", wf.SORT_EVERY)),
+                k_bounces=int(features.get("mega_k_bounces", wf.K_BOUNCES)),
+                key_mode=str(features.get("mega_sort_key", "pos")),
+                tail_k=int(features.get("mega_tail_k", wf.TAIL_K)),
+                tail_frac=float(features.get("mega_tail_frac",
+                                             wf.TAIL_FRAC)),
+                tail_compact=bool(features.get("mega_tail_compact", False)),
+            )
         radiance = mkg.trace_megakernel_batch_diff(
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
-            n_samples=int(n_samples), **kernel_kw,
+            n_samples=int(n_samples), wavefront_kw=wavefront_kw, **kernel_kw,
         )
     elif wavefront:
         from raytrace2_tpu.ops.pallas import wavefront_sorted as wf
@@ -405,11 +426,12 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         kernel_kw.pop("linear_slots")
         radiance = wf.trace_wavefront_batch(
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
-            sort_every=int(features.get("mega_sort_every", 1)),
+            sort_every=int(features.get("mega_sort_every", wf.SORT_EVERY)),
             k_bounces=int(features.get("mega_k_bounces", wf.K_BOUNCES)),
             key_mode=str(features.get("mega_sort_key", "pos")),
             tail_k=int(features.get("mega_tail_k", wf.TAIL_K)),
             tail_frac=float(features.get("mega_tail_frac", wf.TAIL_FRAC)),
+            tail_compact=bool(features.get("mega_tail_compact", False)),
             ntab=ntab, **kernel_kw,
         )
     else:
@@ -454,5 +476,5 @@ def render_progressive(scene, features, width: int, height: int, sample0,
             sqrt_spp, chunk_size, differentiable,
         )
 
-    init = jnp.zeros((height, width, 3), jnp.float32)
+    init = jnp.zeros((height, width, 3), defs.REAL)
     return jax.lax.fori_loop(0, n_samples, body, init)

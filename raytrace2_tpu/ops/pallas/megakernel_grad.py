@@ -556,26 +556,48 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
 @functools.lru_cache(maxsize=32)
 def _make_diff_render(n_rays, max_depth, has_checker, has_noise, sizes,
                       interpret, fwd_sublanes, wave_frac, linear_slots,
-                      n_samples):
-    """custom_vjp-wrapped megakernel render for one static config."""
-    fwd_kw = dict(
-        n_rays=n_rays, max_depth=max_depth, has_checker=has_checker,
-        has_noise=has_noise, sizes=sizes, interpret=interpret,
-        sublanes=fwd_sublanes, wave_frac=wave_frac,
-        linear_slots=linear_slots,
-    )
+                      n_samples, wavefront_kw=None):
+    """custom_vjp-wrapped megakernel render for one static config.
+
+    ``wavefront_kw`` (hashable dict items): route the FORWARD through the
+    sorted-wavefront kernel instead of v4 — big scenes' fast primal. The
+    two kernels render bitwise-identical images (tests/test_wavefront.py),
+    so the backward's replay stays consistent with either forward; the
+    wavefront requires (and implies) the linear slot layout."""
+    if wavefront_kw is not None:
+        from raytrace2_tpu.ops.pallas import wavefront_sorted as wf
+
+        assert linear_slots
+        fwd_kw = dict(
+            n_rays=n_rays, max_depth=max_depth, has_checker=has_checker,
+            has_noise=has_noise, sizes=sizes, interpret=interpret,
+            sublanes=fwd_sublanes, **dict(wavefront_kw),
+        )
+
+        def fwd_render(camv, seedi, tables, background):
+            return wf.trace_wavefront_batch(
+                camv, seedi, tables, background, **fwd_kw)
+    else:
+        fwd_kw = dict(
+            n_rays=n_rays, max_depth=max_depth, has_checker=has_checker,
+            has_noise=has_noise, sizes=sizes, interpret=interpret,
+            sublanes=fwd_sublanes, wave_frac=wave_frac,
+            linear_slots=linear_slots,
+        )
+
+        def fwd_render(camv, seedi, tables, background):
+            return mk.trace_megakernel_batch(
+                camv, seedi, tables, background, **fwd_kw)
     # The bwd kernel re-blocks the cotangent with its own (smaller) tiles;
     # n_rays must divide both.
     grad_pad = -n_rays % (GRAD_SUBLANES * mk.LANES)
 
     @jax.custom_vjp
     def diff_render(camv, seedi, tables, background):
-        return mk.trace_megakernel_batch(
-            camv, seedi, tables, background, **fwd_kw)
+        return fwd_render(camv, seedi, tables, background)
 
     def fwd(camv, seedi, tables, background):
-        out = mk.trace_megakernel_batch(
-            camv, seedi, tables, background, **fwd_kw)
+        out = fwd_render(camv, seedi, tables, background)
         return out, (camv, seedi, tables, background)
 
     def bwd(res, g):
@@ -604,15 +626,18 @@ def trace_megakernel_batch_diff(camv, seedi, tables, background, *, n_rays,
                                 max_depth, has_checker, has_noise=False,
                                 sizes=None, interpret=False,
                                 sublanes=mk.SUBLANES, wave_frac=1.0,
-                                linear_slots=False, n_samples=1):
+                                linear_slots=False, n_samples=1,
+                                wavefront_kw=None):
     """Differentiable drop-in for megakernel.trace_megakernel_batch.
 
-    Forward: the fast v4 kernel, untouched. Backward: the indexed-replay
-    kernel (see module docstring). ``n_samples`` must be the STATIC sample
-    count the camv batch encodes (the backward loops over it in-kernel).
-    """
+    Forward: the fast v4 kernel (or the sorted-wavefront kernel when
+    ``wavefront_kw`` is given — big scenes), untouched. Backward: the
+    indexed-replay kernel (see module docstring). ``n_samples`` must be
+    the STATIC sample count the camv batch encodes (the backward loops
+    over it in-kernel)."""
     fn = _make_diff_render(
         n_rays, max_depth, has_checker, has_noise, tuple(sizes),
         interpret, sublanes, wave_frac, linear_slots, n_samples,
+        None if wavefront_kw is None else tuple(sorted(wavefront_kw.items())),
     )
     return fn(camv, seedi, tables, background)

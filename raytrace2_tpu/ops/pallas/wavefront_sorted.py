@@ -70,6 +70,9 @@ SORT_SUBLANES = 24
 K_BOUNCES = 1
 TAIL_K = 16
 TAIL_FRAC = 0.65
+SORT_EVERY = 2  # interleaved A/B medians (book2): every-1 5.34, every-2
+#                 5.53, every-3 5.58 Mpaths/s — cadence 2 keeps most of the
+#                 coherence at half the sort cost
 
 
 class _View:
@@ -348,14 +351,16 @@ def init_wavefront_state(n_rays, camv):
     jax.jit,
     static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
                      "sizes", "interpret", "sublanes", "sort_every",
-                     "k_bounces", "key_mode", "tail_k", "tail_frac"),
+                     "k_bounces", "key_mode", "tail_k", "tail_frac",
+                     "tail_compact"),
 )
 def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                           max_depth, has_checker, has_noise=False,
                           sizes=None, interpret=False,
                           sublanes=SORT_SUBLANES, sort_every=1,
                           k_bounces=1, ntab=None, key_mode="pos",
-                          tail_k=None, tail_frac=0.0):
+                          tail_k=None, tail_frac=0.0,
+                          tail_compact=False):
     """Drop-in for megakernel.trace_megakernel_batch (linear slot layout
     ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3].
 
@@ -432,15 +437,58 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
             return state, i + 1
         return body
 
-    two_phase = bool(tail_k) and tail_k != k_bounces and tail_frac > 0.0
+    two_phase = bool(tail_k) and tail_frac > 0.0
     if two_phase:
-        pop_switch = jnp.int32(int(tail_frac * n_rays))
+        pop_switch = int(tail_frac * n_rays)
         state, _ = jax.lax.while_loop(
-            lambda c: runnable_count(c[0]) > pop_switch,
+            lambda c: runnable_count(c[0]) > jnp.int32(pop_switch),
             make_body(make_step(k_bounces)), (state, jnp.int32(0)))
-        state, _ = jax.lax.while_loop(
-            lambda c: runnable_count(c[0]) > 0,
-            make_body(make_step(tail_k)), (state, jnp.int32(0)))
+        # Optional tail compaction: after a sort the runnable slots are a
+        # strict prefix (exhausted/padding keys sort to 2^30), and the
+        # phase-1 exit guarantees runnable <= pop_switch — so the tail
+        # can run on a tail_frac-sized buffer (fewer tiles per launch; the
+        # parked suffix holds only finished slots whose radiance rides
+        # along untouched). Pure scheduling: bitwise-identical images
+        # (tested). Measured neutral-to-slightly-negative on book2 (the
+        # K=16 tail's all-dead tiles already early-exit for just the
+        # state round-trip), so OFF by default; kept gated behind
+        # features mega_tail_compact for bigger-buffer scenes.
+        n_tail = -(-max(pop_switch, 1) // tile_r) * tile_r
+        if tail_compact and n_tail < n_rays:
+            state = do_sort(state)
+            head = {k: v[:n_tail] for k, v in state.items()}
+            rest = {k: v[n_tail:] for k, v in state.items()}
+            rows_t = n_tail // mk.LANES
+            step_t = build_step(
+                offsets, n_camv, n_rays=n_tail, sublanes=sublanes,
+                with_ntab=with_ntab, interpret=interpret,
+                kern_kw=make_kern_kw(tail_k))
+
+            def body_tail(carry):
+                st, i = carry
+                if sort_every == 1:
+                    st = do_sort(st)
+                else:
+                    st = jax.lax.cond(
+                        i % sort_every == 0,
+                        do_sort, lambda s: s, st)
+                ntab_ops = ((jnp.asarray(ntab, jnp.float32),)
+                            if with_ntab else ())
+                outs = step_t(packed, seedi, *ntab_ops,
+                              *(st[k].reshape(rows_t, mk.LANES)
+                                for k in _STATE_KEYS))
+                return ({k: v.reshape(n_tail)
+                         for k, v in zip(_STATE_KEYS, outs)}, i + 1)
+
+            head, _ = jax.lax.while_loop(
+                lambda c: runnable_count(c[0]) > 0,
+                body_tail, (head, jnp.int32(0)))
+            state = {k: jnp.concatenate([head[k], rest[k]])
+                     for k in _STATE_KEYS}
+        else:
+            state, _ = jax.lax.while_loop(
+                lambda c: runnable_count(c[0]) > 0,
+                make_body(make_step(tail_k)), (state, jnp.int32(0)))
     else:
         state, _ = jax.lax.while_loop(
             lambda c: runnable_count(c[0]) > 0,

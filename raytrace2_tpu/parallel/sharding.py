@@ -276,17 +276,24 @@ def render_grad_sharded_mega(scene, features, target, seed, *, width, height,
         check_vma=False,
     )
     def go(scene, my_sp, my_pix0, my_tgt, my_w):
-        def local_loss(scene):
-            r = _render_batch_megakernel(
+        def render_local(scene):
+            return _render_batch_megakernel(
                 scene, features, width, height, my_sp[0] * n_samples,
                 n_samples, seed, max_depth, sqrt_spp,
                 pix0=my_pix0[0], n_local=chunk, differentiable=True,
             )
-            img = jax.lax.psum(r, "sp") / total_samples
-            return jnp.sum(my_w[:, None] * (img - my_tgt) ** 2)
 
-        loss, g = jax.value_and_grad(local_loss, allow_int=True)(scene)
-        loss = jax.lax.psum(loss, "dp")
+        # vjp of the LOCAL render only, with the image cotangent applied
+        # explicitly: differentiating through psum('sp') would rely on the
+        # collective's transpose under check_vma=False, which is the
+        # conservative psum-of-cotangents (doubling the sp-axis gradient);
+        # the chain rule is trivial here — d loss/d r_local =
+        # 2 w (img - t) / total — so apply it by hand.
+        r, pullback = jax.vjp(render_local, scene)
+        img = jax.lax.psum(r, "sp") / total_samples
+        resid = my_w[:, None] * (img - my_tgt)
+        loss = jax.lax.psum(jnp.sum(resid * (img - my_tgt)), "dp")
+        (g,) = pullback(2.0 * resid / total_samples)
 
         def reduce_leaf(x):
             if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from raytrace2_tpu import defs
 from raytrace2_tpu.ops import integrator
 from raytrace2_tpu.scene import schema
 
@@ -37,7 +38,7 @@ class RenderState:
 
 def init_state(width: int, height: int) -> RenderState:
     return RenderState(
-        accum=jnp.zeros((height, width, 3), jnp.float32),
+        accum=jnp.zeros((height, width, 3), defs.REAL),
         frame_idx=jnp.int32(0),
     )
 
@@ -65,7 +66,7 @@ def render_step(scene, features, state, seed, n_samples=1, *, width, height,
 def linear_image(state: RenderState) -> jnp.ndarray:
     """acc / frame_idx in linear space — RayTracer::NonConvertedPixels
     (src/cpu_raytrace/RayTracer.cpp:105-112)."""
-    return state.accum / jnp.maximum(state.frame_idx, 1).astype(jnp.float32)
+    return state.accum / jnp.maximum(state.frame_idx, 1).astype(state.accum.dtype)
 
 
 def display_image(state: RenderState) -> jnp.ndarray:

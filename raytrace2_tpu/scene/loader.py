@@ -32,6 +32,7 @@ import dataclasses
 import json
 import math
 import os
+import sys
 from typing import Any
 
 import numpy as np
@@ -205,8 +206,19 @@ def _parse_materials(obj: dict, textures: list[dict], errors: list[str]) -> list
             # Lenient extension: data/final_render_checker.json has a typeless
             # material carrying only tex_idx; the reference loader aborts on it
             # (src/Serialize.cpp:246-249). Interpreting it as a texture
-            # material keeps the whole data/ corpus loadable.
+            # material keeps the whole data/ corpus loadable. That same scene
+            # also ships NO textures array, so its tex_idx dangles — absorb it
+            # with a default white solid (with a warning) instead of tripping
+            # the strict reference validation; explicit typed materials stay
+            # strict (_validate_references).
             mtype = "texture"
+            if not (0 <= int(m["tex_idx"]) < len(textures)):
+                print(
+                    f"Warning: typeless material tex_idx {m['tex_idx']} "
+                    "dangles (no such texture); substituting solid white",
+                    file=sys.stderr,
+                )
+                m = dict(m, tex_idx=_add_solid_texture(textures, (1, 1, 1)))
         if mtype == "lambertian":
             materials.append({"type": defs.MAT_LAMBERTIAN, "albedo": _vec3(m.get("albedo"), (1, 1, 1))})
         elif mtype == "dielectric":

@@ -183,3 +183,44 @@ def test_cli_backend_flag(tmp_path):
     assert np.array_equal(outs["mega"], outs["wavefront"])
     assert abs(float(outs["mega"].mean()) - float(outs["xla"].mean())) < 20.0
     assert outs["mega"].mean() > 10
+
+
+def test_key_controls_inactive_off_tty():
+    """Piped/CI stdin: the key poller must stay inert."""
+    from raytrace2_tpu import app as app_mod
+
+    kc = app_mod._KeyControls(enabled=True)
+    assert not kc.active
+    assert kc.poll() == ""
+    kc.close()  # no-op
+
+
+def test_cli_key_quit_and_snapshot(tmp_path, monkeypatch):
+    """'w' writes a snapshot mid-render, 'q' ends the run early but still
+    writes the final image — the headless ImGui-panel analog
+    (App.cpp:210-229)."""
+    from raytrace2_tpu import app as app_mod
+
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps(_scene_json()))
+    out = tmp_path / "out.png"
+    presses = iter(["", "wc", "q"])
+
+    class FakeKeys:
+        def __init__(self, enabled):
+            self.active = True
+
+        def poll(self):
+            return next(presses, "q")
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(app_mod, "_KeyControls", FakeKeys)
+    rc = app_mod.main([str(scene), str(out), "--samples", "64", "--depth",
+                       "3", "--batch", "1", "--watch", "--quiet"])
+    assert rc == 0
+    assert out.exists()
+    assert os.path.exists(str(out) + ".camera.json")
+    img = image.decode_png(open(str(out), "rb").read())
+    assert img.shape[0] > 0

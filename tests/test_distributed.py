@@ -23,6 +23,15 @@ import pytest
 _WORKER = textwrap.dedent("""
     import json, sys
 
+    # The container's axon sitecustomize overrides even an explicit
+    # JAX_PLATFORMS=cpu env var at interpreter startup (the workers would
+    # silently grab the REAL tunneled TPU — two concurrent processes wedge
+    # it). Importing jax does NOT initialize a backend; pinning the
+    # platform through the config API beats the sitecustomize, exactly as
+    # tests/conftest.py does for the in-process suite.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     # initialize() must run before anything touches the XLA backend —
     # the module deliberately imports nothing that does.
     from raytrace2_tpu.parallel import distributed

@@ -147,3 +147,97 @@ def test_instancing_duplicates():
     centers = scene.spheres.center0[act]
     assert np.allclose(sorted(centers[:, 0].tolist()), [0.0, 5.0])
     os.unlink(path)
+
+
+# --------------------------------------------------------------------------
+# Loud rejection at the supported-scope edges (loader._validate_references;
+# the reference prints-and-skips bad entries, Serialize.cpp:102-104 — this
+# port refuses to silently mis-render).
+# --------------------------------------------------------------------------
+
+_EDGE_BASE = {
+    "camera": {"fov": 90, "center": [0, 0, 1], "look_at": [0, 0, 0]},
+    "background_color": [1, 1, 1],
+    "materials": [{"type": "texture", "tex_idx": 1}],
+    "primitives": [
+        {"type": "sphere", "center": [0, 0, 0], "radius": 0.5, "material": 0}
+    ],
+    "scene": [{"primitive": 0}],
+}
+
+
+def _write_scene(tmp_path, name, overrides):
+    import json
+
+    doc = dict(_EDGE_BASE)
+    doc.update(overrides)
+    p = tmp_path / name
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+@pytest.mark.parametrize(
+    "name,overrides,needle",
+    [
+        (
+            "checker_of_checker",
+            {"textures": [
+                {"type": "solid_color", "albedo": [1, 0, 0]},
+                {"type": "checker", "scale": 1.0, "even_tex_idx": 2,
+                 "odd_tex_idx": 0},
+                {"type": "checker", "scale": 0.5, "even_tex_idx": 0,
+                 "odd_tex_idx": 0}]},
+            "itself a checker",
+        ),
+        (
+            "checker_child_oob",
+            {"textures": [
+                {"type": "solid_color", "albedo": [1, 0, 0]},
+                {"type": "checker", "scale": 1.0, "even_tex_idx": 7,
+                 "odd_tex_idx": 0}]},
+            "out of range",
+        ),
+        (
+            "mat_tex_oob",
+            {"textures": [{"type": "solid_color", "albedo": [1, 0, 0]},
+                          {"type": "solid_color", "albedo": [0, 1, 0]}],
+             "materials": [{"type": "texture", "tex_idx": 99}]},
+            "tex_idx 99 out of range",
+        ),
+        (
+            "prim_mat_oob",
+            {"textures": [{"type": "solid_color", "albedo": [1, 0, 0]},
+                          {"type": "solid_color", "albedo": [0, 1, 0]}],
+             "primitives": [{"type": "sphere", "center": [0, 0, 0],
+                             "radius": 0.5, "material": 7}]},
+            "material index 7 out of range",
+        ),
+        (
+            "unknown_texture_type",
+            {"textures": [{"type": "wavelet"}],
+             "materials": [{"type": "lambertian", "albedo": [1, 1, 1]}]},
+            "Invalid texture type",
+        ),
+        (
+            "unknown_material_type",
+            {"textures": [{"type": "solid_color", "albedo": [1, 0, 0]},
+                          {"type": "solid_color", "albedo": [0, 1, 0]}],
+             "materials": [{"type": "subsurface"}]},
+            "Invalid material type",
+        ),
+        (
+            "medium_quad_boundary",
+            {"textures": [{"type": "solid_color", "albedo": [1, 0, 0]},
+                          {"type": "solid_color", "albedo": [0, 1, 0]}],
+             "primitives": [{"type": "quad", "q": [0, 0, 0], "u": [1, 0, 0],
+                             "v": [0, 1, 0], "material": 0,
+                             "constant_medium": {"density": 0.5,
+                                                 "albedo": [1, 1, 1]}}]},
+            "sphere or box",
+        ),
+    ],
+)
+def test_scope_edges_raise_loudly(tmp_path, name, overrides, needle):
+    path = _write_scene(tmp_path, name + ".json", overrides)
+    with pytest.raises(loader.SceneError, match=needle):
+        loader.load_scene(path)

@@ -37,17 +37,20 @@ def test_wavefront_bitwise_equals_v4_cornell(data_dir, k_bounces, sort_every):
     np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("tail_k,tail_frac", [(4, 0.5), (16, 0.9)])
-def test_wavefront_two_phase_bitwise(data_dir, tail_k, tail_frac):
+@pytest.mark.parametrize("tail_k,tail_frac,compact",
+                         [(4, 0.5, False), (16, 0.9, False),
+                          (16, 0.5, True)])
+def test_wavefront_two_phase_bitwise(data_dir, tail_k, tail_frac, compact):
     """The two-phase schedule (K=1 coherent waves, then tail_k straggler
     launches once the runnable population drops below tail_frac) is pure
-    scheduling — bitwise equal to v4 for any switch point."""
+    scheduling — bitwise equal to v4 for any switch point, with or
+    without the gated tail-buffer compaction."""
     scene_host, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
     scene = schema.to_device(scene_host)
     a = _render(scene_host, scene, 24, 16, 2, 6, **V4_KW)
     b = _render(scene_host, scene, 24, 16, 2, 6, mega_wavefront=True,
                 mega_k_bounces=1, mega_tail_k=tail_k,
-                mega_tail_frac=tail_frac)
+                mega_tail_frac=tail_frac, mega_tail_compact=compact)
     np.testing.assert_array_equal(a, b)
 
 
