@@ -4,12 +4,12 @@ default JAX backend (the real TPU chip under the driver).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 ``--grad``: instead benchmark the DIFFERENTIABLE render — forward and
-backward both as Pallas kernels (ops/pallas/megakernel_grad.py custom
-VJP; every path traced twice: forward + reverse replay) — and print one
-JSON line with metric "cornell600_fwdbwd_paths_per_sec". max_depth is 16
-(the gradient kernel's unrolled-replay bound); vs_baseline compares
-against the reference's FORWARD-only measured number scaled 50/16 — the
-reference has no backward at all, so this is the charitable comparison.
+backward both as Pallas kernels (ops/pallas/megakernel_grad.py indexed
+replay custom VJP) at the flagship depth 50 and print one JSON line with
+metric "cornell600_fwdbwd_d50_paths_per_sec"; vs_baseline compares
+against the reference's FORWARD-only measured number (depth-scaled when
+--grad-depth overrides) — the reference has no backward at all.
+--grad-samples N sets the per-dispatch sample batch (default 64).
 
 Workload: the reference's implied headline config — Cornell box original at
 600x600, max_depth 50, stratified progressive sampling
@@ -159,7 +159,13 @@ def _main_grad(scene, features, width, height) -> int:
     if "--grad-depth" in sys.argv[1:]:
         max_depth = int(sys.argv[sys.argv.index("--grad-depth") + 1])
     sqrt_spp = 2
-    n_samples = 4  # per dispatch; samples loop in-kernel across the batch
+    # Samples per dispatch: the in-kernel sample loops amortize a ~55 ms
+    # per-dispatch fixed cost (measured: depth-16 throughput 19 -> 43 -> 74
+    # Mpaths/s at n=4/16/128); 64 keeps the longest (depth-50) dispatch
+    # under ~1 s for the network-attached runtime.
+    n_samples = 64
+    if "--grad-samples" in sys.argv[1:]:
+        n_samples = int(sys.argv[sys.argv.index("--grad-samples") + 1])
 
     def loss(img):
         return jnp.mean(img)
