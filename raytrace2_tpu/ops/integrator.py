@@ -328,7 +328,10 @@ def mega_schedule(features):
     # Cluster-heavy scenes route to the SORTED WAVEFRONT kernel
     # (ops/pallas/wavefront_sorted.py): between-bounce coherence sorting is
     # what makes the cluster skips fire; it requires the linear slot layout.
-    wavefront = bool(features.get("mega_wavefront", big))
+    # Threshold 256: book1 (490 records) measured 7.7 Mpaths/s on v4 vs
+    # 10.0 on the two-phase wavefront; Cornell-class scenes (tens of
+    # records, where every record is swept anyway) stay on v4 (175).
+    wavefront = bool(features.get("mega_wavefront", n_records > 256))
     if wavefront:
         from raytrace2_tpu.ops.pallas import wavefront_sorted as wf
 
@@ -392,6 +395,14 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         and features.get("noise_impl", "hash") == "table"
     ):
         ntab = mk.pack_noise_tables(scene, tuple(features["noise_rows"]))
+    # Gather-based material/texture resolve for big tables (book1: 484
+    # materials swept per bounce otherwise; bitwise-identical values).
+    mtab = None
+    n_mat, n_tex = sizes[2], sizes[3]
+    if bool(features.get(
+            "mega_mat_gather",
+            max(n_mat, n_tex) > mk.MAT_GATHER_MIN)):
+        mtab = mk.pack_resolve_tables(tables[4], tables[5], n_mat, n_tex)
     if differentiable:
         from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
 
@@ -417,7 +428,8 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
             )
         radiance = mkg.trace_megakernel_batch_diff(
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
-            n_samples=int(n_samples), wavefront_kw=wavefront_kw, **kernel_kw,
+            n_samples=int(n_samples), wavefront_kw=wavefront_kw,
+            use_mtab=mtab is not None, **kernel_kw,
         )
     elif wavefront:
         from raytrace2_tpu.ops.pallas import wavefront_sorted as wf
@@ -432,12 +444,12 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
             tail_k=int(features.get("mega_tail_k", wf.TAIL_K)),
             tail_frac=float(features.get("mega_tail_frac", wf.TAIL_FRAC)),
             tail_compact=bool(features.get("mega_tail_compact", False)),
-            ntab=ntab, **kernel_kw,
+            ntab=ntab, mtab=mtab, **kernel_kw,
         )
     else:
         radiance = mk.trace_megakernel_batch(
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
-            ntab=ntab, **kernel_kw,
+            ntab=ntab, mtab=mtab, **kernel_kw,
         )
     if n_local is not None:
         return radiance[:n]          # sharded caller keeps the flat slot tile

@@ -700,9 +700,57 @@ def _closest_hit(bodies, sph, boxes, *, alive, ox, oy, oz, dx, dy, dz,
     return rec
 
 
+def gather_table(tblv, idx_f, n_keys, segs):
+    """Per-lane gather of all ``n_keys`` columns of a packed
+    [n_keys*segs, LANES] table at f32 indices ``idx_f`` — Mosaic's 2-D
+    same-shape ``take_along_axis`` walked over 128-wide segments. Returns
+    a tuple of per-lane arrays in key order. Values are exact copies of
+    the table entries, so a gather-based resolve is bitwise-identical to
+    the masked-sweep resolve; cost is O(segs) instead of O(rows)."""
+    idx = idx_f.astype(jnp.int32)
+    col = jnp.bitwise_and(idx, LANES - 1)
+    seg = jnp.right_shift(idx, 7)
+    outs = []
+    for k in range(n_keys):
+        acc = jnp.zeros(idx.shape, jnp.float32)
+        for s in range(segs):
+            row = tblv[k * segs + s:k * segs + s + 1, :]
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(row, idx.shape), col, axis=1)
+            acc = jnp.where(seg == s, g, acc)
+        outs.append(acc)
+    return tuple(outs)
+
+
+# Material/texture tables switch from masked-sweep resolve (O(rows) per
+# bounce) to VMEM per-lane gathers (O(rows/128)) above this row count —
+# book1 carries 484 materials and measured +30% from it.
+MAT_GATHER_MIN = 64
+
+
+def resolve_segs(n_mat, n_tex):
+    """(s_mat, s_tex) segment counts of the packed resolve operand."""
+    return (-(-max(n_mat, 1) // LANES), -(-max(n_tex, 1) // LANES))
+
+
+def pack_resolve_tables(mats, texs, n_mat, n_tex):
+    """Pack the material+texture columns into ONE [6*s_mat + 10*s_tex,
+    LANES] f32 VMEM operand for gather-based resolve (key order =
+    _MAT_KEYS then _TEX_KEYS)."""
+    s_mat, s_tex = resolve_segs(n_mat, n_tex)
+    rows = []
+    for tbl, keys, segs in ((mats, _MAT_KEYS, s_mat), (texs, _TEX_KEYS, s_tex)):
+        length = jnp.asarray(tbl[keys[0]]).shape[0]
+        for k in keys:
+            a = jnp.asarray(tbl[k], jnp.float32)
+            a = jnp.pad(a, (0, segs * LANES - length))
+            rows.append(a.reshape(segs, LANES))
+    return jnp.concatenate(rows, axis=0)
+
+
 def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
                  n_quad, n_med, n_mat, n_tex, n_box, has_checker, has_noise,
-                 shape, unroll_py=False, ntab=None):
+                 shape, unroll_py=False, ntab=None, mtab=None):
     """Build the per-bounce transition shared by the v3 (state-passing)
     and v4 (path-regeneration) kernels. ``key`` is the per-lane RNG key
     for the CURRENT (pixel, sample); ``tm`` the per-lane shutter time.
@@ -749,48 +797,60 @@ def _make_bounce(sph, qd, boxes, med, mats, texs, bg_r, *, max_depth, n_sph,
         )
         matf = rec[2]
 
-        # ---- material resolve: scalar sweep over the material table ------
-        def mat_body(k, acc):
-            mtype, alr, alg, alb, mparam, mtex = acc
-            sel = matf == _kf(k)
-            return (
-                jnp.where(sel, mats["mtype"][k], mtype),
-                jnp.where(sel, mats["alr"][k], alr),
-                jnp.where(sel, mats["alg"][k], alg),
-                jnp.where(sel, mats["alb"][k], alb),
-                jnp.where(sel, mats["param"][k], mparam),
-                jnp.where(sel, mats["tex"][k], mtex),
-            )
+        if mtab is not None:
+            # Gather-based resolve (large tables; bitwise-identical to the
+            # sweeps — values are exact table copies either way).
+            s_mat, s_tex = resolve_segs(n_mat, n_tex)
+            mat_v = mtab[0:6 * s_mat]
+            tex_v = mtab[6 * s_mat:6 * s_mat + 10 * s_tex]
+            (mtype, alr, alg, alb, mparam, mtex) = gather_table(
+                mat_v, matf, 6, s_mat)
 
-        mtype, alr, alg, alb, mparam, mtex = loop(
-            n_mat, mat_body,
-            (jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
-             jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)),
-        )
-
-        # ---- texture resolve (solid / checker / hash-Perlin noise) -------
-        def tex_sweep(idx_f):
-            def tex_body(k, acc):
-                (ttype, talr, talg, talb, tinv, tev, tod, tsc, tnt,
-                 tns) = acc
-                sel = idx_f == _kf(k)
+            def tex_sweep(idx_f):
+                return gather_table(tex_v, idx_f, 10, s_tex)
+        else:
+            # ---- material resolve: scalar sweep over the material table --
+            def mat_body(k, acc):
+                mtype, alr, alg, alb, mparam, mtex = acc
+                sel = matf == _kf(k)
                 return (
-                    jnp.where(sel, texs["ttype"][k], ttype),
-                    jnp.where(sel, texs["alr"][k], talr),
-                    jnp.where(sel, texs["alg"][k], talg),
-                    jnp.where(sel, texs["alb"][k], talb),
-                    jnp.where(sel, texs["inv_scale"][k], tinv),
-                    jnp.where(sel, texs["even"][k], tev),
-                    jnp.where(sel, texs["odd"][k], tod),
-                    jnp.where(sel, texs["scale"][k], tsc),
-                    jnp.where(sel, texs["ntype"][k], tnt),
-                    jnp.where(sel, texs["nslot"][k], tns),
+                    jnp.where(sel, mats["mtype"][k], mtype),
+                    jnp.where(sel, mats["alr"][k], alr),
+                    jnp.where(sel, mats["alg"][k], alg),
+                    jnp.where(sel, mats["alb"][k], alb),
+                    jnp.where(sel, mats["param"][k], mparam),
+                    jnp.where(sel, mats["tex"][k], mtex),
                 )
 
-            return loop(
-                n_tex, tex_body,
-                tuple(jnp.zeros(shape) for _ in range(10)),
+            mtype, alr, alg, alb, mparam, mtex = loop(
+                n_mat, mat_body,
+                (jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
+                 jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)),
             )
+
+            # ---- texture resolve (solid / checker / hash-Perlin noise) ---
+            def tex_sweep(idx_f):
+                def tex_body(k, acc):
+                    (ttype, talr, talg, talb, tinv, tev, tod, tsc, tnt,
+                     tns) = acc
+                    sel = idx_f == _kf(k)
+                    return (
+                        jnp.where(sel, texs["ttype"][k], ttype),
+                        jnp.where(sel, texs["alr"][k], talr),
+                        jnp.where(sel, texs["alg"][k], talg),
+                        jnp.where(sel, texs["alb"][k], talb),
+                        jnp.where(sel, texs["inv_scale"][k], tinv),
+                        jnp.where(sel, texs["even"][k], tev),
+                        jnp.where(sel, texs["odd"][k], tod),
+                        jnp.where(sel, texs["scale"][k], tsc),
+                        jnp.where(sel, texs["ntype"][k], tnt),
+                        jnp.where(sel, texs["nslot"][k], tns),
+                    )
+
+                return loop(
+                    n_tex, tex_body,
+                    tuple(jnp.zeros(shape) for _ in range(10)),
+                )
 
         return _shade_advance(
             draw, carry, rec, (mtype, alr, alg, alb, mparam, mtex),
@@ -1443,7 +1503,7 @@ def pixel_slots(width: int, height: int, sublanes: int = SUBLANES,
 def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
                       n_mat, n_tex, n_box, has_checker, has_noise,
                       sublanes=SUBLANES, wave_frac=1.0, linear_slots=False,
-                      ntab_ref=None):
+                      ntab_ref=None, mtab_ref=None):
     (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs) = refs_in
     out_rr, out_rg, out_rb = refs_out
     shape = (sublanes, LANES)
@@ -1482,6 +1542,7 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
         has_noise=has_noise, shape=shape,
         ntab=None if ntab_ref is None else ntab_ref[...],
+        mtab=None if mtab_ref is None else mtab_ref[...],
     )
 
     zero = jnp.zeros(shape)
@@ -1549,7 +1610,8 @@ def _render_kernel_v4(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
 def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
                            max_depth, has_checker, has_noise=False,
                            sizes=None, interpret=False, sublanes=SUBLANES,
-                           wave_frac=1.0, linear_slots=False, ntab=None):
+                           wave_frac=1.0, linear_slots=False, ntab=None,
+                           mtab=None):
     """Sum of n_samples progressive samples for every pixel, one kernel
     launch. ``camv`` is the _CAMV_LEN f32 control vector (camera frame +
     batch params); ``seedi`` the exact i32 seed (f32 camv can't carry it);
@@ -1574,6 +1636,7 @@ def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
         sublanes=sublanes, wave_frac=wave_frac, linear_slots=linear_slots,
     )
     with_ntab = ntab is not None
+    with_mtab = mtab is not None
 
     def kern(*refs):
         camv_r = refs[0]
@@ -1596,10 +1659,14 @@ def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
         if with_ntab:
             ntab_r = refs[pos]
             pos += 1
+        mtab_r = None
+        if with_mtab:
+            mtab_r = refs[pos]
+            pos += 1
         outs = refs[pos:pos + 3]
         _render_kernel_v4(
             (camv_r, seedi_r, bg_r, sph_r, qd_r, box_r, med_r, mat_r, tex_r),
-            outs, ntab_ref=ntab_r, **kw
+            outs, ntab_ref=ntab_r, mtab_ref=mtab_r, **kw
         )
 
     n_tables = (len(_SPH_KEYS) + len(_QUAD_KEYS) + len(_BOX_KEYS)
@@ -1618,6 +1685,9 @@ def trace_megakernel_batch(camv, seedi, tables, background, *, n_rays,
     in_specs = [smem_spec] * (3 + n_tables)
     if with_ntab:
         operands.append(jnp.asarray(ntab, jnp.float32))
+        in_specs.append(vmem_full)
+    if with_mtab:
+        operands.append(jnp.asarray(mtab, jnp.float32))
         in_specs.append(vmem_full)
     outs = pl.pallas_call(
         kern,

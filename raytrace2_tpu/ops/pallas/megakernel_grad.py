@@ -556,7 +556,7 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
 @functools.lru_cache(maxsize=32)
 def _make_diff_render(n_rays, max_depth, has_checker, has_noise, sizes,
                       interpret, fwd_sublanes, wave_frac, linear_slots,
-                      n_samples, wavefront_kw=None):
+                      n_samples, wavefront_kw=None, use_mtab=False):
     """custom_vjp-wrapped megakernel render for one static config.
 
     ``wavefront_kw`` (hashable dict items): route the FORWARD through the
@@ -564,6 +564,13 @@ def _make_diff_render(n_rays, max_depth, has_checker, has_noise, sizes,
     two kernels render bitwise-identical images (tests/test_wavefront.py),
     so the backward's replay stays consistent with either forward; the
     wavefront requires (and implies) the linear slot layout."""
+    n_mat_, n_tex_ = sizes[2], sizes[3]
+
+    def fwd_mtab(tables):
+        if not use_mtab:
+            return None
+        return mk.pack_resolve_tables(tables[4], tables[5], n_mat_, n_tex_)
+
     if wavefront_kw is not None:
         from raytrace2_tpu.ops.pallas import wavefront_sorted as wf
 
@@ -576,7 +583,8 @@ def _make_diff_render(n_rays, max_depth, has_checker, has_noise, sizes,
 
         def fwd_render(camv, seedi, tables, background):
             return wf.trace_wavefront_batch(
-                camv, seedi, tables, background, **fwd_kw)
+                camv, seedi, tables, background, mtab=fwd_mtab(tables),
+                **fwd_kw)
     else:
         fwd_kw = dict(
             n_rays=n_rays, max_depth=max_depth, has_checker=has_checker,
@@ -587,7 +595,8 @@ def _make_diff_render(n_rays, max_depth, has_checker, has_noise, sizes,
 
         def fwd_render(camv, seedi, tables, background):
             return mk.trace_megakernel_batch(
-                camv, seedi, tables, background, **fwd_kw)
+                camv, seedi, tables, background, mtab=fwd_mtab(tables),
+                **fwd_kw)
     # The bwd kernel re-blocks the cotangent with its own (smaller) tiles;
     # n_rays must divide both.
     grad_pad = -n_rays % (GRAD_SUBLANES * mk.LANES)
@@ -627,7 +636,7 @@ def trace_megakernel_batch_diff(camv, seedi, tables, background, *, n_rays,
                                 sizes=None, interpret=False,
                                 sublanes=mk.SUBLANES, wave_frac=1.0,
                                 linear_slots=False, n_samples=1,
-                                wavefront_kw=None):
+                                wavefront_kw=None, use_mtab=False):
     """Differentiable drop-in for megakernel.trace_megakernel_batch.
 
     Forward: the fast v4 kernel (or the sorted-wavefront kernel when
@@ -639,5 +648,6 @@ def trace_megakernel_batch_diff(camv, seedi, tables, background, *, n_rays,
         n_rays, max_depth, has_checker, has_noise, tuple(sizes),
         interpret, sublanes, wave_frac, linear_slots, n_samples,
         None if wavefront_kw is None else tuple(sorted(wavefront_kw.items())),
+        use_mtab,
     )
     return fn(camv, seedi, tables, background)

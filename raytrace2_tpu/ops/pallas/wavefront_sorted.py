@@ -96,7 +96,7 @@ class _View:
 
 def _bounce_step_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad,
                         n_med, n_mat, n_tex, n_box, has_checker, has_noise,
-                        sublanes, k_bounces=1, ntab_ref=None):
+                        sublanes, k_bounces=1, ntab_ref=None, mtab_ref=None):
     (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs) = refs_in[:9]
     state_in = refs_in[9:]
     shape = (sublanes, mk.LANES)
@@ -112,6 +112,7 @@ def _bounce_step_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad,
         n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
         has_noise=has_noise, shape=shape,
         ntab=None if ntab_ref is None else ntab_ref[...],
+        mtab=None if mtab_ref is None else mtab_ref[...],
     )
 
     def step(st):
@@ -289,7 +290,7 @@ def pack_smem_operand(camv, background, tables):
 
 
 def build_step(offsets, n_camv, *, n_rays, sublanes, with_ntab, interpret,
-               kern_kw):
+               kern_kw, with_mtab=False):
     """The K-bounce pallas_call over the sorted state tiles.
 
     Call as ``step(packed, seedi, [ntab,] *state_2d)`` with each state leaf
@@ -311,13 +312,18 @@ def build_step(offsets, n_camv, *, n_rays, sublanes, with_ntab, interpret,
         ntab_r = None
         if with_ntab:
             ntab_r, rest = rest[0], rest[1:]
+        mtab_r = None
+        if with_mtab:
+            mtab_r, rest = rest[0], rest[1:]
         n_state = len(_STATE_KEYS)
         _bounce_step_kernel(
             (camv_v, seedi_ref, bg_v, *tdicts, *rest[:n_state]),
-            rest[n_state:], ntab_ref=ntab_r, **kern_kw)
+            rest[n_state:], ntab_ref=ntab_r, mtab_ref=mtab_r, **kern_kw)
 
     ntab_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] if with_ntab else [])
+    if with_mtab:
+        ntab_specs = ntab_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)]
     return pl.pallas_call(
         kern,
         grid=(grid,),
@@ -360,7 +366,7 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                           sublanes=SORT_SUBLANES, sort_every=1,
                           k_bounces=1, ntab=None, key_mode="pos",
                           tail_k=None, tail_frac=0.0,
-                          tail_compact=False):
+                          tail_compact=False, mtab=None):
     """Drop-in for megakernel.trace_megakernel_batch (linear slot layout
     ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3].
 
@@ -394,11 +400,12 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
 
     packed, offsets, n_camv = pack_smem_operand(camv, background, tables)
     with_ntab = ntab is not None
+    with_mtab = mtab is not None
 
     def make_step(k):
         return build_step(offsets, n_camv, n_rays=n_rays, sublanes=sublanes,
                           with_ntab=with_ntab, interpret=interpret,
-                          kern_kw=make_kern_kw(k))
+                          kern_kw=make_kern_kw(k), with_mtab=with_mtab)
 
     camv = jnp.asarray(camv, jnp.float32)
     seedi = jnp.asarray(seedi, jnp.int32).reshape(1)
@@ -429,6 +436,8 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                 state = jax.lax.cond(
                     i % sort_every == 0, do_sort, lambda s: s, state)
             ntab_ops = (jnp.asarray(ntab, jnp.float32),) if with_ntab else ()
+            if with_mtab:
+                ntab_ops = ntab_ops + (jnp.asarray(mtab, jnp.float32),)
             outs = step(packed, seedi, *ntab_ops,
                         *(state[k].reshape(rows, mk.LANES)
                           for k in _STATE_KEYS))
@@ -462,7 +471,7 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
             step_t = build_step(
                 offsets, n_camv, n_rays=n_tail, sublanes=sublanes,
                 with_ntab=with_ntab, interpret=interpret,
-                kern_kw=make_kern_kw(tail_k))
+                kern_kw=make_kern_kw(tail_k), with_mtab=with_mtab)
 
             def body_tail(carry):
                 st, i = carry
@@ -474,6 +483,8 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                         do_sort, lambda s: s, st)
                 ntab_ops = ((jnp.asarray(ntab, jnp.float32),)
                             if with_ntab else ())
+                if with_mtab:
+                    ntab_ops = ntab_ops + (jnp.asarray(mtab, jnp.float32),)
                 outs = step_t(packed, seedi, *ntab_ops,
                               *(st[k].reshape(rows_t, mk.LANES)
                                 for k in _STATE_KEYS))

@@ -285,3 +285,42 @@ def test_two_level_hierarchy_large_scene(tmp_path):
     db = compare.downsample(b, 4)
     np.testing.assert_allclose(da.mean(), db.mean(), rtol=0.1)
     np.testing.assert_allclose(da, db, atol=0.25)
+
+
+def test_mat_gather_resolve_bitwise(data_dir, tmp_path):
+    """Gather-based material/texture resolve (mtab; book1-class tables) is
+    an exact-copy lookup — bitwise equal to the masked-sweep resolve, on
+    both the v4 and wavefront kernels."""
+    import json
+
+    import numpy as np
+
+    rs = np.random.RandomState(3)
+    prims, mats = [], []
+    for i in range(70):  # 70 materials > MAT_GATHER_MIN when forced on
+        mats.append({"type": "lambertian",
+                     "albedo": [float(x) for x in rs.uniform(0.2, 0.9, 3)]})
+        prims.append({"type": "sphere",
+                      "center": [float(rs.uniform(-4, 4)),
+                                 float(rs.uniform(0.2, 1.0)),
+                                 float(rs.uniform(-4, 4))],
+                      "radius": 0.3, "material": i})
+    j = {"background_color": [0.6, 0.7, 0.9],
+         "camera": {"fov": 60, "center": [0, 2, 8], "look_at": [0, 0.5, 0]},
+         "materials": mats, "primitives": prims}
+    p = tmp_path / "many_mats.json"
+    p.write_text(json.dumps(j))
+    scene_host, _ = loader.load_scene(str(p))
+    scene = schema.to_device(scene_host)
+
+    def render(**kw):
+        feat = dict(scene_host.features(), use_megakernel=True,
+                    mega_interpret=True, **kw)
+        r = integrator.render_progressive(
+            scene, feat, 24, 16, jnp.int32(0), jnp.int32(2), 0, 4, 1)
+        return np.asarray(r)
+
+    for wf in (False, True):
+        a = render(mega_mat_gather=False, mega_wavefront=wf)
+        b = render(mega_mat_gather=True, mega_wavefront=wf)
+        np.testing.assert_array_equal(a, b)
