@@ -134,6 +134,12 @@ class _KeyControls:
             self._saved = termios.tcgetattr(self._fd)
             tty.setcbreak(self._fd)
             self.active = True
+            # Restore the terminal on ANY exit path (Ctrl-C mid-render,
+            # render errors): close() is idempotent, so the explicit call
+            # on the normal path and this atexit hook coexist.
+            import atexit
+
+            atexit.register(self.close)
         except Exception:
             self.active = False
 

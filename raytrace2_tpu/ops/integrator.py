@@ -124,7 +124,7 @@ def _trace_megakernel(scene, features, o, d, time, seed_lane, max_depth):
     radiance = mk.trace_megakernel(
         o, d, time, seed_lane, tables, scene.background,
         max_depth=max_depth,
-        has_checker=bool(features.get("has_checker", True)),
+        has_checker=int(features.get("has_checker", 1)),
         has_noise=bool(features.get("has_noise", False)),
         sizes=sizes,
         interpret=bool(features.get("mega_interpret", False)),
@@ -380,7 +380,7 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
     tables = mk.pack_tables(scene, sizes)
     kernel_kw = dict(
         n_rays=n_pad, max_depth=max_depth,
-        has_checker=bool(features.get("has_checker", True)),
+        has_checker=int(features.get("has_checker", 1)),
         has_noise=bool(features.get("has_noise", False)),
         sizes=sizes,
         interpret=bool(features.get("mega_interpret", False)),
@@ -396,13 +396,14 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
     ):
         ntab = mk.pack_noise_tables(scene, tuple(features["noise_rows"]))
     # Gather-based material/texture resolve for big tables (book1: 484
-    # materials swept per bounce otherwise; bitwise-identical values).
-    mtab = None
+    # materials swept per bounce otherwise; bitwise-identical values). The
+    # differentiable branch packs its own operand inside the custom_vjp
+    # (megakernel_grad fwd), so only the gate is shared.
     n_mat, n_tex = sizes[2], sizes[3]
-    if bool(features.get(
-            "mega_mat_gather",
-            max(n_mat, n_tex) > mk.MAT_GATHER_MIN)):
-        mtab = mk.pack_resolve_tables(tables[4], tables[5], n_mat, n_tex)
+    use_mtab = bool(features.get(
+        "mega_mat_gather", max(n_mat, n_tex) > mk.MAT_GATHER_MIN))
+    mtab = (mk.pack_resolve_tables(tables[4], tables[5], n_mat, n_tex)
+            if use_mtab and not differentiable else None)
     if differentiable:
         from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
 
@@ -413,10 +414,10 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
             # Big scenes: the primal inside the custom_vjp runs the
             # sorted-wavefront kernel (bitwise-identical to v4, ~2x
             # faster on book2) with the same scheduling knobs as the
-            # non-differentiable path.
+            # non-differentiable path (which requires the linear slot
+            # layout; mega_schedule already selected it).
             kernel_kw.pop("wave_frac")
-            kernel_kw.pop("linear_slots")
-            kernel_kw["linear_slots"] = True
+            assert kernel_kw["linear_slots"]
             wavefront_kw = dict(
                 sort_every=int(features.get("mega_sort_every", wf.SORT_EVERY)),
                 k_bounces=int(features.get("mega_k_bounces", wf.K_BOUNCES)),
@@ -429,7 +430,7 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         radiance = mkg.trace_megakernel_batch_diff(
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
             n_samples=int(n_samples), wavefront_kw=wavefront_kw,
-            use_mtab=mtab is not None, **kernel_kw,
+            use_mtab=use_mtab, **kernel_kw,
         )
     elif wavefront:
         from raytrace2_tpu.ops.pallas import wavefront_sorted as wf

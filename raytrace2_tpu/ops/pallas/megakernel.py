@@ -899,15 +899,18 @@ def _shade_advance(draw, carry, rec, mat6, tex_resolve, bg_r, *,
     leaf = mtex
     (ttype, t_alr, t_alg, t_alb, t_inv, t_even, t_odd,
      t_scale, t_ntype, t_nslot) = tex_resolve(leaf)
-    if has_checker:
+    # ``has_checker`` carries the scene's checker NESTING depth (int;
+    # reference checkers recurse arbitrarily, Texture.cpp:7-11) — one
+    # parity + child re-resolve per level.
+    for _ in range(int(has_checker)):
         fx = jnp.floor(t_inv * px)
         fy = jnp.floor(t_inv * py)
         fz = jnp.floor(t_inv * pz)
         parity = fx + fy + fz - 2.0 * jnp.floor((fx + fy + fz) * 0.5)
         child = jnp.where(parity == 0.0, t_even, t_odd)
-        leaf = jnp.where(ttype == float(defs.TEX_CHECKER), child, mtex)
-        (ttype, t_alr, t_alg, t_alb, _, _, _, t_scale, t_ntype,
-         t_nslot) = tex_resolve(leaf)
+        leaf = jnp.where(ttype == float(defs.TEX_CHECKER), child, leaf)
+        (ttype, t_alr, t_alg, t_alb, t_inv, t_even, t_odd, t_scale,
+         t_ntype, t_nslot) = tex_resolve(leaf)
     if has_noise:
         # Texture.cpp:13-22 with hash-derived gradients (see
         # _hash_gradient); pattern keyed by texture index only, so it is

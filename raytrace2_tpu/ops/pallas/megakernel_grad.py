@@ -165,19 +165,7 @@ def _make_gather(n_keys, segs):
     masks contracted on the MXU (Mosaic has no scatter)."""
 
     def fwd_impl(tblv, idx_f):
-        idx = idx_f.astype(jnp.int32)
-        col = jnp.bitwise_and(idx, mk.LANES - 1)
-        seg = jnp.right_shift(idx, 7)
-        outs = []
-        for k in range(n_keys):
-            acc = jnp.zeros(idx.shape, jnp.float32)
-            for s in range(segs):
-                row = tblv[k * segs + s:k * segs + s + 1, :]
-                g = jnp.take_along_axis(
-                    jnp.broadcast_to(row, idx.shape), col, axis=1)
-                acc = jnp.where(seg == s, g, acc)
-            outs.append(acc)
-        return tuple(outs)
+        return mk.gather_table(tblv, idx_f, n_keys, segs)
 
     @jax.custom_vjp
     def gather(tblv, idx_f):

@@ -427,7 +427,10 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
         pk = pk[perm]
         return {k: pk[:, i] for i, k in enumerate(_STATE_KEYS)}
 
-    def make_body(step):
+    def make_body(step, n=None):
+        n = n_rays if n is None else n
+        rows_n = n // mk.LANES
+
         def body(carry):
             state, i = carry
             if sort_every == 1:
@@ -435,13 +438,13 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
             else:
                 state = jax.lax.cond(
                     i % sort_every == 0, do_sort, lambda s: s, state)
-            ntab_ops = (jnp.asarray(ntab, jnp.float32),) if with_ntab else ()
+            ops = (jnp.asarray(ntab, jnp.float32),) if with_ntab else ()
             if with_mtab:
-                ntab_ops = ntab_ops + (jnp.asarray(mtab, jnp.float32),)
-            outs = step(packed, seedi, *ntab_ops,
-                        *(state[k].reshape(rows, mk.LANES)
+                ops = ops + (jnp.asarray(mtab, jnp.float32),)
+            outs = step(packed, seedi, *ops,
+                        *(state[k].reshape(rows_n, mk.LANES)
                           for k in _STATE_KEYS))
-            state = {k: v.reshape(n_rays)
+            state = {k: v.reshape(n)
                      for k, v in zip(_STATE_KEYS, outs)}
             return state, i + 1
         return body
@@ -467,33 +470,14 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
             state = do_sort(state)
             head = {k: v[:n_tail] for k, v in state.items()}
             rest = {k: v[n_tail:] for k, v in state.items()}
-            rows_t = n_tail // mk.LANES
             step_t = build_step(
                 offsets, n_camv, n_rays=n_tail, sublanes=sublanes,
                 with_ntab=with_ntab, interpret=interpret,
                 kern_kw=make_kern_kw(tail_k), with_mtab=with_mtab)
 
-            def body_tail(carry):
-                st, i = carry
-                if sort_every == 1:
-                    st = do_sort(st)
-                else:
-                    st = jax.lax.cond(
-                        i % sort_every == 0,
-                        do_sort, lambda s: s, st)
-                ntab_ops = ((jnp.asarray(ntab, jnp.float32),)
-                            if with_ntab else ())
-                if with_mtab:
-                    ntab_ops = ntab_ops + (jnp.asarray(mtab, jnp.float32),)
-                outs = step_t(packed, seedi, *ntab_ops,
-                              *(st[k].reshape(rows_t, mk.LANES)
-                                for k in _STATE_KEYS))
-                return ({k: v.reshape(n_tail)
-                         for k, v in zip(_STATE_KEYS, outs)}, i + 1)
-
             head, _ = jax.lax.while_loop(
                 lambda c: runnable_count(c[0]) > 0,
-                body_tail, (head, jnp.int32(0)))
+                make_body(step_t, n_tail), (head, jnp.int32(0)))
             state = {k: jnp.concatenate([head[k], rest[k]])
                      for k in _STATE_KEYS}
         else:

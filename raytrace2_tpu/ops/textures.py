@@ -2,9 +2,9 @@
 
 The reference dispatches a ``std::variant`` per lookup with recursive checker
 children (src/cpu_raytrace/Texture.cpp:7-22). Here every ray evaluates the
-type-selected value with masked selects; checker children are resolved one
-level deep (every checker child in the corpus is a solid or noise texture —
-the loader rejects checker-of-checker). Perlin/turbulence use the per-texture
+type-selected value with masked selects; checker children resolve
+recursively to the scene's actual nesting depth (features["has_checker"]
+carries it; the loader rejects cyclic checker graphs). Perlin/turbulence use the per-texture
 permutation + gradient tables baked by the scene compiler
 (src/cpu_raytrace/PerlinNoiseGen.cpp:66-103 semantics, validated against the
 NumPy oracle in scene/perlin.py).
@@ -99,14 +99,19 @@ def texture_value(textures, tex_idx, uv, p, features):
     ``uv`` is accepted for interface parity; no corpus texture samples it.
     """
     del uv
-    if not features.get("has_checker", True):
+    depth = int(features.get("has_checker", 1))  # checker nesting depth
+    if not depth:
         return _leaf_value(textures, tex_idx, p, features)
-    ttype = textures.ttype[tex_idx]
-    # Checker parity on floor(inv_scale * p) (Texture.cpp:7-11). C++ ``%``
-    # keeps the sign of the dividend, so (x+y+z) % 2 == 0 accepts -2, 0, ...;
-    # test parity of the absolute value instead.
-    i3 = jnp.floor(textures.inv_scale[tex_idx][:, None] * p).astype(jnp.int32)
-    even = (jnp.abs(i3[:, 0] + i3[:, 1] + i3[:, 2]) % 2) == 0
-    child = jnp.where(even, textures.even[tex_idx], textures.odd[tex_idx])
-    leaf_idx = jnp.where(ttype == defs.TEX_CHECKER, child, tex_idx)
-    return _leaf_value(textures, leaf_idx, p, features)
+    idx = tex_idx
+    for _ in range(depth):
+        ttype = textures.ttype[idx]
+        # Checker parity on floor(inv_scale * p) (Texture.cpp:7-11). C++
+        # ``%`` keeps the sign of the dividend, so (x+y+z) % 2 == 0 accepts
+        # -2, 0, ...; test parity of the absolute value instead. Checkers
+        # recurse to arbitrary finite depth like the reference's
+        # variant dispatch (cycles are rejected at load).
+        i3 = jnp.floor(textures.inv_scale[idx][:, None] * p).astype(jnp.int32)
+        even = (jnp.abs(i3[:, 0] + i3[:, 1] + i3[:, 2]) % 2) == 0
+        child = jnp.where(even, textures.even[idx], textures.odd[idx])
+        idx = jnp.where(ttype == defs.TEX_CHECKER, child, idx)
+    return _leaf_value(textures, idx, p, features)

@@ -244,10 +244,13 @@ def render_grad_sharded_mega(scene, features, target, seed, *, width, height,
     Mesh semantics: 'dp' shards kernel slot tiles (global pixel offsets
     keep RNG streams and stratification bitwise-identical to one device);
     'sp' ranks render DISJOINT sample blocks of the same pixels, psum'd
-    into the image before the loss (total samples = n_samples * sp). The
-    FlatScene cotangent is psum'd over both axes — gradient-all-reduce
-    data parallelism, riding ICI (SURVEY.md §2.12).
-    Returns (loss, d loss/d scene)."""
+    into the image before the loss. ``n_samples`` is the TOTAL per-pixel
+    sample count regardless of mesh shape (each sp rank renders
+    n_samples/sp of them — sp must divide n_samples), so the loss and
+    gradient match the XLA fallback (render_grad_sharded) and a
+    single-device render exactly. The FlatScene cotangent is psum'd over
+    both axes — gradient-all-reduce data parallelism, riding ICI
+    (SURVEY.md §2.12). Returns (loss, d loss/d scene)."""
     features = dict(features)
     from raytrace2_tpu.ops.integrator import (_render_batch_megakernel,
                                               mega_schedule)
@@ -255,6 +258,11 @@ def render_grad_sharded_mega(scene, features, target, seed, *, width, height,
 
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
+    if n_samples % sp:
+        raise ValueError(
+            f"n_samples={n_samples} (total) must divide by the mesh's "
+            f"sp={sp} (each sp rank renders a disjoint block)")
+    per_rank = n_samples // sp
     sublanes, _, linear, _ = mega_schedule(features)
     tile_r, _ = mk.tile_block(sublanes, linear)
     n_slots, slot_of_pixel = mk.pixel_slots(width, height, sublanes, linear)
@@ -266,7 +274,7 @@ def render_grad_sharded_mega(scene, features, target, seed, *, width, height,
     w_slots = jnp.zeros((n_pad_slots,), jnp.float32).at[flat_slots].set(1.0)
     pix0_arr = jnp.arange(dp, dtype=jnp.int32) * chunk
     sp_arr = jnp.arange(sp, dtype=jnp.int32)
-    total_samples = n_samples * sp
+    total_samples = n_samples
 
     @functools.partial(
         jax.shard_map,
@@ -278,8 +286,8 @@ def render_grad_sharded_mega(scene, features, target, seed, *, width, height,
     def go(scene, my_sp, my_pix0, my_tgt, my_w):
         def render_local(scene):
             return _render_batch_megakernel(
-                scene, features, width, height, my_sp[0] * n_samples,
-                n_samples, seed, max_depth, sqrt_spp,
+                scene, features, width, height, my_sp[0] * per_rank,
+                per_rank, seed, max_depth, sqrt_spp,
                 pix0=my_pix0[0], n_local=chunk, differentiable=True,
             )
 

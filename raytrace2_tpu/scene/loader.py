@@ -383,17 +383,42 @@ def _validate_references(textures: list[dict], materials: list[dict],
                 errors.append(
                     f"texture {i}: checker {side}_tex_idx {c} out of range "
                     f"(have {n_tex} textures)")
-            elif textures[c]["type"] == "checker":
-                errors.append(
-                    f"texture {i}: checker {side} child {c} is itself a "
-                    "checker — nested checkers are outside this renderer's "
-                    "supported scope (children must be solid or noise)")
+    # Checkers nest to arbitrary FINITE depth (reference recursion,
+    # Texture.cpp:7-11) — but a cyclic child graph would recurse forever
+    # there and cannot be compiled here; reject it loudly.
+    state = {}  # 0 in-progress, 1 done
+
+    def visit(i):
+        if state.get(i) == 1:
+            return True
+        if state.get(i) == 0:
+            return False
+        state[i] = 0
+        ok = True
+        if textures[i]["type"] == "checker":
+            for side in ("even", "odd"):
+                c = textures[i][side]
+                if 0 <= c < n_tex and not visit(c):
+                    ok = False
+        state[i] = 1
+        return ok
+
+    for i, t in enumerate(textures):
+        if t["type"] == "checker" and not visit(i):
+            errors.append(
+                f"texture {i}: checker children form a CYCLE — the "
+                "reference would recurse forever; rejecting")
+            break
     for i, m in enumerate(materials):
         tex = m.get("tex")
         if tex is not None and not (0 <= tex < n_tex):
             errors.append(
                 f"material {i}: tex_idx {tex} out of range "
                 f"(have {n_tex} textures)")
+    # max(n_mat, 1): with an EMPTY materials list, parse_scene appends one
+    # default gray lambertian after validation ("primitive material indices
+    # default to 0"), so index 0 is deliberately valid there; any other
+    # dangling index still raises.
     for i, p in enumerate(prims):
         if not (0 <= p.material < max(n_mat, 1)):
             errors.append(

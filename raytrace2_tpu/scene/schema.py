@@ -241,10 +241,26 @@ class FlatScene:
         ``mega_sizes`` carries the active record counts for the megakernel's
         static loops."""
         ttypes = np.asarray(self.textures.ttype)
+
+        def checker_depth() -> int:
+            # Max checker-nesting depth (reference checkers recurse
+            # arbitrarily, Texture.cpp:7-11; the loader rejects cycles so
+            # this DFS terminates). 0 = no checkers; plain bool tests on
+            # the feature keep working (depth >= 1 is truthy).
+            even = np.asarray(self.textures.even)
+            odd = np.asarray(self.textures.odd)
+
+            def depth(i: int) -> int:
+                if ttypes[i] != 1:  # defs.TEX_CHECKER
+                    return 0
+                return 1 + max(depth(int(even[i])), depth(int(odd[i])))
+
+            return max((depth(i) for i in range(len(ttypes))), default=0)
+
         return {
             "has_media": bool(np.any(np.asarray(self.media.active))),
             "has_noise": bool(np.any(ttypes == 2)),    # defs.TEX_NOISE
-            "has_checker": bool(np.any(ttypes == 1)),  # defs.TEX_CHECKER
+            "has_checker": checker_depth(),            # nesting depth (int)
             # Texture rows that carry Perlin tables, in nslot order (the
             # megakernel's table-Perlin mode packs their perm/grad tables
             # into a VMEM operand; see megakernel.pack_noise_tables).

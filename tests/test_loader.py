@@ -180,14 +180,14 @@ def _write_scene(tmp_path, name, overrides):
     "name,overrides,needle",
     [
         (
-            "checker_of_checker",
+            "checker_cycle",
             {"textures": [
                 {"type": "solid_color", "albedo": [1, 0, 0]},
                 {"type": "checker", "scale": 1.0, "even_tex_idx": 2,
                  "odd_tex_idx": 0},
-                {"type": "checker", "scale": 0.5, "even_tex_idx": 0,
+                {"type": "checker", "scale": 0.5, "even_tex_idx": 1,
                  "odd_tex_idx": 0}]},
-            "itself a checker",
+            "CYCLE",
         ),
         (
             "checker_child_oob",
@@ -241,3 +241,17 @@ def test_scope_edges_raise_loudly(tmp_path, name, overrides, needle):
     path = _write_scene(tmp_path, name + ".json", overrides)
     with pytest.raises(loader.SceneError, match=needle):
         loader.load_scene(path)
+
+
+def test_nested_checker_loads_with_depth(tmp_path):
+    """Checker-of-checker is in scope (reference recursion,
+    Texture.cpp:7-11): loads, and features() reports the nesting depth."""
+    overrides = {"textures": [
+        {"type": "solid_color", "albedo": [1, 0, 0]},
+        {"type": "checker", "scale": 1.0, "even_tex_idx": 2,
+         "odd_tex_idx": 0},
+        {"type": "checker", "scale": 0.5, "even_tex_idx": 0,
+         "odd_tex_idx": 0}]}
+    path = _write_scene(tmp_path, "nested.json", overrides)
+    scene, _ = loader.load_scene(path)
+    assert int(scene.features()["has_checker"]) == 2

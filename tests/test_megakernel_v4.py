@@ -324,3 +324,39 @@ def test_mat_gather_resolve_bitwise(data_dir, tmp_path):
         a = render(mega_mat_gather=False, mega_wavefront=wf)
         b = render(mega_mat_gather=True, mega_wavefront=wf)
         np.testing.assert_array_equal(a, b)
+
+
+def test_nested_checker_cross_backend(tmp_path):
+    """Depth-2 checker scene on matched murmur RNG streams: the kernel's
+    per-level parity/re-resolve loop must agree with the XLA texture
+    recursion (same paths, so only f32 rounding differs)."""
+    j = {
+        "background_color": [1, 1, 1],
+        "camera": {"fov": 50, "center": [0, 6, 5], "look_at": [0, 0, 0]},
+        "textures": [
+            {"type": "solid_color", "albedo": [0.9, 0.1, 0.1]},
+            {"type": "solid_color", "albedo": [0.1, 0.1, 0.9]},
+            {"type": "checker", "scale": 0.7, "even_tex_idx": 0,
+             "odd_tex_idx": 1},
+            {"type": "checker", "scale": 2.9, "even_tex_idx": 2,
+             "odd_tex_idx": 1},
+        ],
+        "materials": [{"type": "texture", "tex_idx": 3}],
+        "primitives": [{"type": "quad", "q": [-20, 0.37, -20], "u": [40, 0, 0],
+                        "v": [0, 0, 40], "material": 0}],
+    }
+    p = tmp_path / "nested.json"
+    p.write_text(json.dumps(j))
+    scene_host, _ = loader.load_scene(str(p))
+    assert int(scene_host.features()["has_checker"]) == 2
+    scene = schema.to_device(scene_host)
+
+    def run(**kw):
+        feat = dict(scene_host.features(), **kw)
+        return np.asarray(integrator.render_progressive(
+            scene, feat, 24, 16, jnp.int32(0), jnp.int32(2), 0, 4, 1)) / 2
+
+    im_m = run(use_megakernel=True, mega_interpret=True)
+    im_x = run(use_megakernel=False, rng_impl="murmur")
+    assert abs(im_m.mean() - im_x.mean()) < 1e-3
+    np.testing.assert_allclose(im_m, im_x, rtol=1e-3, atol=1e-3)

@@ -192,15 +192,15 @@ def test_sharded_wavefront_matches_single_device(cornell, sp, dp):
         np.testing.assert_allclose(shard, single, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("sp,dp,ns_shard,ns_single", [(1, 8, 2, 2),
-                                                      (2, 4, 1, 2)])
-def test_distributed_mega_grad_matches_single_device(cornell, sp, dp,
-                                                     ns_shard, ns_single):
+@pytest.mark.parametrize("sp,dp", [(1, 8), (2, 4)])
+def test_distributed_mega_grad_matches_single_device(cornell, sp, dp):
     """Distributed fwd+bwd through the Pallas kernels
     (sharding.render_grad_sharded_mega: v4 forward + indexed-replay VJP on
     every device, cotangents psum'd) == the single-device megakernel VJP.
-    sp ranks render disjoint sample blocks, so (sp=2, n=1) covers the same
-    sample set as single-device n=2."""
+    n_samples is the TOTAL per-pixel count on any mesh shape (sp ranks
+    split it into disjoint blocks), so one single-device reference serves
+    every layout."""
+    ns_shard = ns_single = 2
     from raytrace2_tpu import grad as grad_mod
 
     scene, features = cornell

@@ -167,3 +167,37 @@ def test_table_perlin_matches_xla_path():
             jnp.full((8 * 128,), row, jnp.int32),
             jnp.asarray(pts.reshape(-1, 3)))).reshape(8, 128)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_nested_checker_two_levels():
+    """Checker-of-checker (reference recursion, Texture.cpp:7-11):
+    features["has_checker"] carries the nesting depth; two levels resolve
+    to exact leaf albedos."""
+    L = 4
+    perm = np.tile(perlin.identity_tables()[0], (L, 1, 1))
+    grad = np.zeros((L, 256, 3), defs.REAL)
+    tex = schema.Textures(
+        # 0 red, 1 blue, 2 inner checker(0,1) cell 1, 3 outer
+        # checker(even=2 inner, odd=1 blue) cell 4 (inv 0.25)
+        ttype=np.array([defs.TEX_SOLID, defs.TEX_SOLID, defs.TEX_CHECKER,
+                        defs.TEX_CHECKER], defs.INDEX),
+        albedo=np.array([[1, 0, 0], [0, 0, 1], [1, 1, 1], [1, 1, 1]],
+                        defs.REAL),
+        inv_scale=np.array([1, 1, 1.0, 0.25], defs.REAL),
+        scale=np.ones(L, defs.REAL),
+        even=np.array([0, 0, 0, 2], defs.INDEX),
+        odd=np.array([0, 0, 1, 1], defs.INDEX),
+        noise_type=np.zeros(L, defs.INDEX),
+        perm=perm.astype(defs.INDEX),
+        grad=grad.astype(defs.REAL),
+    )
+    feat = {"has_noise": False, "has_checker": 2}
+    pts = np.array([
+        [0.5, 0.5, 0.5],   # outer cell (0,0,0) even -> inner; inner cell (0,0,0) even -> red
+        [1.5, 0.5, 0.5],   # outer even; inner cell (1,0,0) odd -> blue
+        [4.5, 0.5, 0.5],   # outer cell (1,0,0) odd -> blue directly
+    ], np.float32)
+    v = _value(tex, [3, 3, 3], pts, feat)
+    np.testing.assert_allclose(v[0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(v[1], [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(v[2], [0, 0, 1], atol=1e-6)

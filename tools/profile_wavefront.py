@@ -146,7 +146,7 @@ def main():
     kern_kw = dict(
         max_depth=args.depth, n_sph=n_sph, n_quad=n_quad, n_med=n_med,
         n_mat=n_mat, n_tex=n_tex, n_box=n_box,
-        has_checker=bool(feats.get("has_checker", True)),
+        has_checker=int(feats.get("has_checker", 1)),
         has_noise=bool(feats.get("has_noise", False)),
         sublanes=sublanes, k_bounces=args.k_bounces,
     )
