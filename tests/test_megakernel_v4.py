@@ -360,3 +360,41 @@ def test_nested_checker_cross_backend(tmp_path):
     im_x = run(use_megakernel=False, rng_impl="murmur")
     assert abs(im_m.mean() - im_x.mean()) < 1e-3
     np.testing.assert_allclose(im_m, im_x, rtol=1e-3, atol=1e-3)
+
+
+def test_mat_gather_with_table_noise_bitwise(tmp_path):
+    """ntab AND mtab ride the same positional VMEM-operand tail — a scene
+    with table-mode noise AND a gather-resolved material table must render
+    identically to the sweep resolve, on both kernels."""
+    rs = np.random.RandomState(5)
+    mats = [{"type": "texture", "tex_idx": 0}]
+    prims = [{"type": "sphere", "center": [0, 1.0, 0], "radius": 1.0,
+              "material": 0}]
+    for i in range(70):
+        mats.append({"type": "lambertian",
+                     "albedo": [float(x) for x in rs.uniform(0.2, 0.9, 3)]})
+        prims.append({"type": "sphere",
+                      "center": [float(rs.uniform(-4, 4)), 0.3,
+                                 float(rs.uniform(-4, 4))],
+                      "radius": 0.3, "material": i + 1})
+    j = {"background_color": [0.7, 0.8, 0.9],
+         "camera": {"fov": 60, "center": [0, 2, 8], "look_at": [0, 0.5, 0]},
+         "textures": [{"type": "noise", "albedo": [0.8, 0.7, 0.6],
+                       "scale": 1.5, "noise_type": 1}],
+         "materials": mats, "primitives": prims}
+    p = tmp_path / "noise_mats.json"
+    p.write_text(json.dumps(j))
+    scene_host, _ = loader.load_scene(str(p))
+    scene = schema.to_device(scene_host)
+
+    def render(**kw):
+        feat = dict(scene_host.features(), use_megakernel=True,
+                    mega_interpret=True, noise_impl="table", **kw)
+        r = integrator.render_progressive(
+            scene, feat, 24, 16, jnp.int32(0), jnp.int32(1), 0, 3, 1)
+        return np.asarray(r)
+
+    for wf in (False, True):
+        a = render(mega_mat_gather=False, mega_wavefront=wf)
+        b = render(mega_mat_gather=True, mega_wavefront=wf)
+        np.testing.assert_array_equal(a, b)
