@@ -961,8 +961,17 @@ def _shade_advance(draw, carry, rec, mat6, tex_resolve, bg_r, *,
                 )
 
         if unroll_py:
-            # The replay must stay cond-free (lax.cond has no transpose).
-            nfac = _noise_factor()
+            # The replay must stay cond-free (lax.cond has no
+            # transpose). Hash mode reroutes through the
+            # recompute-in-backward wrapper: the 7-octave chain's
+            # intermediates otherwise all land in the vjp residual
+            # set — ~2000 arrays PER BOUNCE, which at depth 50 blew
+            # the 128 MB physical VMEM (book2 measured 261 MB).
+            if ntab is None:
+                nfac = _noise_factor_remat(
+                    npx, npy, npz, t_scale, t_ntype, nseed)
+            else:
+                nfac = _noise_factor()
         else:
             # The ~2000-op turbulence/perlin evaluation runs only when
             # some lane actually shades a noise texture this bounce — a
@@ -1071,6 +1080,45 @@ def _shade_advance(draw, carry, rec, mat6, tex_resolve, bg_r, *,
     next_alive = scatter_live & (bn < max_depth_f)
     return (bn, next_alive.astype(jnp.float32), ox, oy, oz,
             dx, dy, dz, tpr, tpg, tpb, rr, rg, rb)
+
+
+def _noise_factor_impl(npx, npy, npz, t_scale, t_ntype, nseed):
+    """Hash-noise factor (marble|perlin select) — the remat wrapper's
+    shared body (identical math to the fast kernels' cond branch)."""
+    marble = 0.5 * (1.0 + jnp.sin(
+        t_scale * npz + 10.0 * _turbulence(npx, npy, npz, nseed)))
+    perl = 0.5 * (1.0 + _perlin_noise(
+        t_scale * npx, t_scale * npy, t_scale * npz, nseed))
+    return jnp.where(t_ntype == float(defs.NOISE_MARBLE), marble, perl)
+
+
+@jax.custom_vjp
+def _noise_factor_remat(npx, npy, npz, t_scale, t_ntype, nseed):
+    """Recompute-in-backward noise factor for the gradient replay: the
+    forward saves only the 6 inputs; the backward re-runs the whole
+    7-octave evaluation under a local jax.vjp. Mosaic cannot lower
+    jax.checkpoint's remat2 primitive, so this is the manual equivalent,
+    scoped to exactly the computation whose residuals don't fit."""
+    return _noise_factor_impl(npx, npy, npz, t_scale, t_ntype, nseed)
+
+
+def _nfr_fwd(npx, npy, npz, t_scale, t_ntype, nseed):
+    out = _noise_factor_impl(npx, npy, npz, t_scale, t_ntype, nseed)
+    return out, (npx, npy, npz, t_scale, t_ntype, nseed)
+
+
+def _nfr_bwd(res, ct):
+    npx, npy, npz, t_scale, t_ntype, nseed = res
+    _, vjp_fn = jax.vjp(
+        lambda a, b, c, d: _noise_factor_impl(a, b, c, d, t_ntype, nseed),
+        npx, npy, npz, t_scale)
+    d_px, d_py, d_pz, d_sc = vjp_fn(ct)
+    import numpy as _np
+    return (d_px, d_py, d_pz, d_sc, jnp.zeros_like(t_ntype),
+            _np.zeros(nseed.shape, jax.dtypes.float0))
+
+
+_noise_factor_remat.defvjp(_nfr_fwd, _nfr_bwd)
 
 
 def _lattice_hash(ix, iy, iz, seed_u):

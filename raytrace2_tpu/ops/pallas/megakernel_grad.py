@@ -93,15 +93,25 @@ _BODY_TEX = mk._TEX_KEYS
 _FAMS = (_BODY_SPH, _BODY_QUAD, _BODY_BOX, _BODY_MED, _BODY_MAT, _BODY_TEX)
 
 
+GRAD_MAX_DEPTH_BIG = 24  # Mosaic VMEM bound for >256-record replays:
+#                            ~5 MB/bounce of unrolled pre-pass allocations
+#                            survive the segmented backward (measured:
+#                            book2 d24 fits at 125 MB, d50 wants 265 MB);
+#                            collapsing the pre-pass into a fori loop with
+#                            stacked winners would lift this.
+
+
 def grad_supported(sizes, max_depth, has_noise) -> bool:
-    """Any scene the forward megakernel can render, at any corpus depth.
-    has_noise is allowed (hash-gradient noise is pure arithmetic — and is
-    exactly what makes geometry/camera gradients continuous under the
-    detached estimator)."""
+    """Any scene the forward megakernel can render; full corpus depth 50
+    for Cornell-class scenes, depth <= GRAD_MAX_DEPTH_BIG for >256-record
+    scenes (VMEM bound above). has_noise is allowed (hash-gradient noise
+    is pure arithmetic — and is exactly what makes geometry/camera
+    gradients continuous under the detached estimator)."""
     del has_noise
     n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
     records = n_sph + n_quad + n_box + n_med
-    return records <= mk.MAX_SMEM_RECORDS and max_depth <= GRAD_MAX_DEPTH
+    cap = GRAD_MAX_DEPTH if records <= 256 else GRAD_MAX_DEPTH_BIG
+    return records <= mk.MAX_SMEM_RECORDS and max_depth <= cap
 
 
 def pack_diff_tables(tables):
@@ -394,6 +404,22 @@ def _grad_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         n_mat=n_mat, n_tex=n_tex, has_checker=has_checker,
         has_noise=has_noise, max_depth=max_depth, **kw,
     )
+    # Rematerialize each bounce when its residuals would blow VMEM: the
+    # 7-octave hash-noise alone puts ~2000 intermediates per bounce into
+    # the vjp's residual set (book2 at depth 50 measured 261 MB vs the
+    # 128 MB physical VMEM). The resolve is ref-free pure arithmetic, so
+    # jax.checkpoint applies; the cost is one extra resolve+shade per
+    # bounce in the backward. Noise-free Cornell-class scenes measured
+    # fine un-rematerialized — keep them at full speed.
+    # Big scenes at full depth overflow VMEM with the replay's residuals
+    # (book2 @ depth 50 measured 262 MB vs the 128 MB physical):
+    # SEGMENTED backward below — the pre-pass stores each segment's input
+    # carry, and the vjp runs segment-by-segment in reverse so only one
+    # segment's residuals are ever live. jax.checkpoint (remat2) and a
+    # custom_vjp bounce wrapper both fail to lower in Mosaic (the latter
+    # because any jnp constant created inside becomes a rejected
+    # custom_vjp const), so this is plain jax.vjp end to end.
+    seg_len = max_depth if (n_sph + n_quad + n_med + n_box) <= 256 else 8
 
     def camera_rays(camvv, key, s_f):
         ox, oy, oz, dx, dy, dz, tm = mk.camera_ray(
@@ -412,23 +438,28 @@ def _grad_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         return (zero, alive0, ox, oy, oz, dx, dy, dz,
                 one, one, one, zero, zero, zero), tm
 
+    n_seg = -(-max_depth // seg_len)
+
     def primal_winners(key, s_f):
         """Pre-pass OUTSIDE the vjp: advance the primal path with the
-        production sweep, pinning each bounce's winner. The state advance
-        uses the SAME resolve+shade as the differentiable replay, so the
-        replay's primal trajectory matches this one exactly."""
+        production sweep, pinning each bounce's winner and each remat
+        SEGMENT's input carry. The state advance uses the SAME
+        resolve+shade as the differentiable replay, so the replay's
+        primal trajectory matches this one exactly."""
         carry, tm = camera_rays(camv_d, key, s_f)
-        winners = []
-        for _ in range(max_depth):
+        winners, seg_carries = [], []
+        for b in range(max_depth):
+            if b % seg_len == 0:
+                seg_carries.append(carry)
             w = search(key, tm, carry)
             winners.append(w)
             carry = bounce(key, tm, carry, w, dv_vals, bg_d)
-        return winners
+        return winners, seg_carries, tm
 
-    def replay(diff, key, s_f, winners):
-        """One sample's full path for every lane — the differentiable
-        function (same per-lane math as the v4 kernel's trace), with the
-        hit sequence pinned by the pre-pass."""
+    def replay_whole(diff, key, s_f, winners):
+        """Single-segment replay (small scenes): camera + all bounces in
+        ONE vjp — the exact pre-segmentation structure, which also
+        compiles dramatically faster in interpret mode."""
         camvv, bgv = diff[0], diff[1]
         dv = diff[2:]
         carry, tm = camera_rays(camvv, key, s_f)
@@ -439,16 +470,62 @@ def _grad_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
     def sample_body(si, _):
         s_f = s0 + si.astype(jnp.float32)
         key = mk.v4_sample_key(seed_i, pid_u, s_f)
-        winners = primal_winners(key, s_f)
-        _, vjp_fn = jax.vjp(
-            lambda d: replay(d, key, s_f, winners), diff0)
-        (d,) = vjp_fn((gr, gg, gb))
-        dcamv, dbg = d[0], d[1]
+        winners, seg_carries, tm = primal_winners(key, s_f)
+
+        if n_seg == 1:
+            _, vjp_fn = jax.vjp(
+                lambda d: replay_whole(d, key, s_f, winners), diff0)
+            (d_acc,) = vjp_fn((gr, gg, gb))
+            dcamv, dbg = d_acc[0], d_acc[1]
+            for i in range(N_CAMV_DIFF):
+                d_camv[i] = d_camv[i] + dcamv[i]
+            for i in range(3):
+                d_bg[i] = d_bg[i] + dbg[i]
+            for ref, dval in zip(d_dv, d_acc[2:]):
+                ref[...] = ref[...] + dval
+            return 0
+
+        # Backward, one remat segment at a time (reverse order): residuals
+        # for only seg_len bounces are live at once. cot_carry starts as
+        # the radiance cotangent and chains backward through each segment;
+        # d(diff0) accumulates across segments.
+        zero = jnp.zeros(shape)
+        cot_carry = tuple(
+            [zero] * 11 + [gr, gg, gb]
+        )
+        d_acc = None
+        for seg in reversed(range(n_seg)):
+            ws = winners[seg * seg_len:(seg + 1) * seg_len]
+
+            def seg_fn(diff, c_in, ws=ws):
+                camvv, bgv = diff[0], diff[1]
+                dvv = diff[2:]
+                cc = c_in
+                for w in ws:
+                    cc = bounce(key, tm, cc, w, dvv, bgv)
+                return cc
+
+            _, vjp_fn = jax.vjp(seg_fn, diff0, seg_carries[seg])
+            d_diff, cot_carry = vjp_fn(cot_carry)
+            if d_acc is None:
+                d_acc = d_diff
+            else:
+                d_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b, d_acc, d_diff)
+
+        # Chain the remaining carry cotangent through the camera rays
+        # back to the camv entries (o/d live in carry slots 2..7; the
+        # other slots' cotangents die at constants).
+        _, cam_vjp = jax.vjp(
+            lambda cd: camera_rays(cd, key, s_f)[0], camv_d)
+        (d_camv_cam,) = cam_vjp(cot_carry)
+
+        dcamv, dbg = d_acc[0], d_acc[1]
         for i in range(N_CAMV_DIFF):
-            d_camv[i] = d_camv[i] + dcamv[i]
+            d_camv[i] = d_camv[i] + dcamv[i] + d_camv_cam[i]
         for i in range(3):
             d_bg[i] = d_bg[i] + dbg[i]
-        for ref, dval in zip(d_dv, d[2:]):
+        for ref, dval in zip(d_dv, d_acc[2:]):
             ref[...] = ref[...] + dval
         return 0
 
@@ -521,7 +598,10 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # Nearly the full 128 MB physical VMEM: the segmented replay's
+            # peak (one segment's residuals + pre-pass state) measured
+            # 125.3 MB on book2 600^2 at depth 24.
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
     )(
         jnp.asarray(camv, jnp.float32),
