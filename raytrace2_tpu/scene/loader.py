@@ -368,10 +368,12 @@ def _validate_references(textures: list[dict], materials: list[dict],
 
     The reference loader prints and *skips* bad entries
     (src/Serialize.cpp:102-104); silently dropping or mis-rendering is
-    worse than failing, so every dangling index and every feature outside
-    this port's documented scope (checker children must not themselves be
-    checkers — the kernels resolve checker one level deep, see
-    ops/textures.py) raises SceneError."""
+    worse than failing, so every dangling index — and the one construct
+    that can never compile here, a CYCLIC checker child graph (which would
+    recurse forever in the reference too, Texture.cpp:7-11) — raises
+    SceneError. Checkers nesting to any FINITE depth are fully supported
+    on every backend (the kernels re-resolve one level per nesting
+    level; see ops/pallas/megakernel._shade_advance)."""
     n_tex = len(textures)
     n_mat = len(materials)
     for i, t in enumerate(textures):
