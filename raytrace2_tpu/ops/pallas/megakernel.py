@@ -36,6 +36,7 @@ Material.cpp, Texture.cpp.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,19 +54,43 @@ TILE_R = SUBLANES * LANES
 # (book2: 3.4k records x ~21 f32 params ≈ 160 KB of SMEM tables - fits.)
 MAX_SMEM_RECORDS = 4096
 
-# Two-level cluster hierarchy over the kd-ordered primitives
-# (loader._kd_order): 16-record L1 clusters grouped 8-up into 128-record L2
-# superclusters, each with a precomputed AABB in SMEM, plus 6 precomputed
-# supercluster visit orders (ascending centroid along ±x/±y/±z) so each
-# bounce walks roughly front-to-back for its tile's dominant direction and
-# the per-ray `t0 < best_t` test prunes far superclusters. This is the
-# in-kernel form of the reference's BVH (src/cpu_raytrace/BVH.cpp:10-55):
-# same median-split-on-longest-axis build (host side), fixed two-level
-# fan-out instead of a binary walk because TPU tiles are 4096 rays wide and
-# descend/skip decisions are taken per tile (scalar branch), not per ray.
+# Cluster acceleration over the kd-ordered primitives (loader._kd_order):
+# 16-record L1 clusters, each with a precomputed AABB in SMEM. Two sweep
+# structures are built over them (SWEEP_MODE picks at trace time):
+#
+# * "bvh" (default): a THREADED binary BVH whose leaves are the L1
+#   clusters — the reference's own build algorithm (median split on the
+#   span bounds' longest axis, src/cpu_raytrace/BVH.cpp:10-48) emitted as
+#   SMEM arrays, walked per tile with stackless hit/miss links
+#   (6 precomputed near-child-first threadings, one per dominant ray
+#   direction). This is the in-kernel form of the reference's per-ray
+#   shrinking-interval walk (BVH.cpp:50-55): descend/skip decisions are
+#   taken per tile (scalar `any` branch over the [s,128] ray block), and
+#   the per-lane `t0 < best_t` test prunes adaptively at every tree level
+#   instead of at two fixed fan-outs.
+# * "hier": the earlier fixed two-level fan-out (16-record L1 clusters
+#   grouped 8-up into 128-record L2 superclusters with 6 direction-sorted
+#   visit orders) — kept for A/B measurement.
+_BVH_KEYS = ("bvx0", "bvy0", "bvz0", "bvx1", "bvy1", "bvz1",
+             "bleaf", "bhit", "bmiss")
+# Default "hier": the r5 offline replay of real sorted tiles
+# (tools/analyze_sweep.py over tools/dump_wavefront_states.py dumps)
+# showed the binary walk prunes NO additional cluster bodies over the
+# two-level fan-out (sph 621 vs 612 bodies/tile, box 330 vs 326 — the
+# 3072-ray tile union genuinely reaches ~half the clusters) while paying
+# ~1.6x the branch/reduction count; on-chip it measured ~9% slower at
+# equal operand size. Kept selectable for measurement.
+SWEEP_MODE = os.environ.get("RT2_SWEEP_MODE", "hier")
+# The BVH node/link tables ride the packed operand ONLY in bvh mode: the
+# wavefront kernel re-copies every SMEM operand per grid step, and the
+# extra ~16 KB of keys measured a 3x wavefront slowdown on book2 (5.66 ->
+# 1.92 Mpaths/s) with the walk never even taken — SMEM operand size is a
+# hard perf cliff (see docs/ROOFLINE.md); keep the default operand
+# byte-identical to the r4 layout.
 _CLUSTER_AABB_KEYS = ("cbx0", "cby0", "cbz0", "cbx1", "cby1", "cbz1",
                       "sbx0", "sby0", "sbz0", "sbx1", "sby1", "sbz1",
-                      "ord", "lord")
+                      "ord", "lord") + (
+                          _BVH_KEYS if SWEEP_MODE == "bvh" else ())
 _SPH_KEYS = ("c0x", "c0y", "c0z", "dpx", "dpy", "dpz", "rad", "mat", "act",
              ) + _CLUSTER_AABB_KEYS
 SPH_CLUSTER = 16   # spheres per L1 cluster
@@ -99,8 +124,9 @@ def _cluster_tables(tbl, lo, hi, act_mask, cluster, super_):
     hi = jnp.where(act_mask[:, None], hi, -BIG)
     n_cl = lo.shape[0] // cluster
     n_l2 = lo.shape[0] // super_
-    cl_lo = lo.reshape(n_cl, cluster, 3).min(axis=1)
-    cl_hi = hi.reshape(n_cl, cluster, 3).max(axis=1)
+    cl_lo_raw = lo.reshape(n_cl, cluster, 3).min(axis=1)
+    cl_hi_raw = hi.reshape(n_cl, cluster, 3).max(axis=1)
+    cl_lo, cl_hi = cl_lo_raw, cl_hi_raw
     sb_lo = lo.reshape(n_l2, super_, 3).min(axis=1)
     sb_hi = hi.reshape(n_l2, super_, 3).max(axis=1)
 
@@ -144,6 +170,104 @@ def _cluster_tables(tbl, lo, hi, act_mask, cluster, super_):
         lorders.append((base + asc_local).reshape(-1))
         lorders.append((base + asc_local[:, ::-1]).reshape(-1))
     tbl["lord"] = jnp.concatenate(lorders).astype(jnp.float32)
+    if SWEEP_MODE == "bvh":
+        # Threaded BVH over the raw (inverted-convention) cluster AABBs —
+        # the inverted padding boxes vanish from unions; leaves collapse
+        # inside _build_threaded_bvh.
+        _build_threaded_bvh(tbl, cl_lo_raw, cl_hi_raw)
+
+
+def _build_threaded_bvh(tbl, cl_lo, cl_hi):
+    """Threaded (stackless) BVH over the L1 cluster AABBs, jnp-traceable.
+
+    Build: the reference's own algorithm (src/cpu_raytrace/BVH.cpp:10-48) —
+    recurse over spans of the cluster list, sorting each span by AABB min
+    along the span bounds' longest axis and splitting at the median. The
+    TOPOLOGY (node ids and span sizes) depends only on the static cluster
+    count: ids are assigned pre-order (a node over c clusters occupies ids
+    [id, id+2c-1); left child = id+1, right = id+2·mid), so the recursion
+    unrolls at trace time while the permutation, AABBs, and links stay
+    traced values — the build lives inside the same jit as the render and
+    recomputes when scene geometry changes (e.g. under optimization).
+
+    Traversal (``_bvh_sweep``) needs no stack: for each of the 6 dominant
+    ray directions the DFS is threaded into hit/miss links — hit at an
+    internal node goes to its NEAR child (smaller centroid along the
+    direction axis first), hit at a leaf and every miss go to the node's
+    escape. Near-first plus the per-lane ``t0 < best_t`` interval shrink is
+    the wavefront form of the reference's per-ray ordered walk
+    (BVH.cpp:50-55).
+
+    Padding clusters arrive with inverted bounds (lo=+BIG, hi=-BIG) so
+    min/max unions ignore them; their sort keys (+BIG) push them to span
+    ends, and fully-empty nodes collapse to a degenerate point (lo == hi ==
+    BIG) whose slab test always fails.
+    """
+    n_cl = cl_lo.shape[0]
+    m = 2 * n_cl - 1
+    node_lo = [None] * m
+    node_hi = [None] * m
+    node_leaf = [None] * m
+    kids = [None] * m
+
+    def build(start, end, node, order):
+        span = order[start:end]
+        lo = jnp.take(cl_lo, span, axis=0)
+        hi = jnp.take(cl_hi, span, axis=0)
+        mn = lo.min(0)
+        mx = hi.max(0)
+        node_lo[node] = mn
+        node_hi[node] = mx
+        if end - start == 1:
+            node_leaf[node] = span[0].astype(jnp.float32)
+            return order
+        node_leaf[node] = jnp.float32(-1.0)
+        ext = mx - mn
+        ax_x = (ext[0] >= ext[1]) & (ext[0] >= ext[2])
+        ax_y = (~ax_x) & (ext[1] >= ext[2])
+        keys = jnp.where(ax_x, lo[:, 0], jnp.where(ax_y, lo[:, 1], lo[:, 2]))
+        order = order.at[start:end].set(span[jnp.argsort(keys, stable=True)])
+        mid = (end - start) // 2
+        left, right = node + 1, node + 2 * mid
+        kids[node] = (left, right)
+        order = build(start, start + mid, left, order)
+        return build(start + mid, end, right, order)
+
+    build(0, n_cl, 0, jnp.arange(n_cl, dtype=jnp.int32))
+
+    hit_links = [[None] * m for _ in range(6)]
+    miss_links = [[None] * m for _ in range(6)]
+    for d in range(6):
+        axis, asc = d // 2, d % 2 == 0
+
+        def thread(node, escape, axis=axis, asc=asc, d=d):
+            if kids[node] is None:
+                hit_links[d][node] = escape
+                miss_links[d][node] = escape
+                return
+            left, right = kids[node]
+            c_l = node_lo[left][axis] + node_hi[left][axis]
+            c_r = node_lo[right][axis] + node_hi[right][axis]
+            near_left = (c_l <= c_r) if asc else (c_l >= c_r)
+            f_l, f_r = jnp.float32(left), jnp.float32(right)
+            hit_links[d][node] = jnp.where(near_left, f_l, f_r)
+            miss_links[d][node] = escape
+            thread(left, jnp.where(near_left, f_r, escape))
+            thread(right, jnp.where(near_left, escape, f_l))
+
+        thread(0, jnp.float32(-1.0))
+
+    lo_arr = jnp.stack(node_lo)  # [m, 3]
+    hi_arr = jnp.stack(node_hi)
+    empty = hi_arr[:, :1] < lo_arr[:, :1]
+    lo_arr = jnp.where(empty, BIG, lo_arr)
+    hi_arr = jnp.where(empty, BIG, hi_arr)
+    for axis, name in enumerate("xyz"):
+        tbl["bv" + name + "0"] = lo_arr[:, axis]
+        tbl["bv" + name + "1"] = hi_arr[:, axis]
+    tbl["bleaf"] = jnp.stack(node_leaf)
+    tbl["bhit"] = jnp.stack([x for d in range(6) for x in hit_links[d]])
+    tbl["bmiss"] = jnp.stack([x for d in range(6) for x in miss_links[d]])
 
 
 def pack_tables(scene, sizes):
@@ -371,6 +495,63 @@ def _hier_sweep(tbl, body_fn, rec, alive, ox, oy, oz, invx, invy, invz,
         )
 
     return jax.lax.fori_loop(0, n_l2, super_body, rec)
+
+
+def _bvh_sweep(tbl, body_fn, rec, alive, ox, oy, oz, invx, invy, invz,
+               t_min, n_recs, cluster, super_, dir_idx):
+    """Threaded-BVH sweep over one primitive family (SWEEP_MODE="bvh").
+
+    Per-tile stackless walk of the cluster BVH built by
+    ``_build_threaded_bvh``: a scalar node cursor follows the hit/miss
+    links of the tile's dominant-direction threading; node AABBs are read
+    as scalars at the (dynamic) cursor and slab-tested against every lane,
+    a leaf whose AABB any live lane's shrinking interval can still reach
+    sweeps its 16-record cluster, and everything else is skipped whole.
+    Matches the reference's per-ray ordered BVH walk
+    (src/cpu_raytrace/BVH.cpp:50-55) at tile granularity; pruning only
+    drops records that provably cannot beat the running best_t, so the
+    winning record — and the rendered image — is identical to the linear
+    sweep's (up to exact t ties)."""
+    n_pad = -(-max(n_recs, 1) // super_) * super_
+    n_cl = n_pad // cluster
+    m = 2 * n_cl - 1
+    base = dir_idx * m
+
+    def sweep_cluster(c1, rec):
+        def inner(k, rec):
+            return body_fn(c1 * cluster + k, rec)
+        return jax.lax.fori_loop(0, cluster, inner, rec, unroll=cluster)
+
+    def bodyw(carry):
+        node, rec = carry
+        tax = (tbl["bvx0"][node] - ox) * invx
+        tbx = (tbl["bvx1"][node] - ox) * invx
+        tay = (tbl["bvy0"][node] - oy) * invy
+        tby = (tbl["bvy1"][node] - oy) * invy
+        taz = (tbl["bvz0"][node] - oz) * invz
+        tbz = (tbl["bvz1"][node] - oz) * invz
+        t0 = jnp.maximum(jnp.minimum(tax, tbx),
+                         jnp.maximum(jnp.minimum(tay, tby),
+                                     jnp.minimum(taz, tbz)))
+        t1 = jnp.minimum(jnp.maximum(tax, tbx),
+                         jnp.minimum(jnp.maximum(tay, tby),
+                                     jnp.maximum(taz, tbz)))
+        anyhit = jnp.any(alive & (t1 > jnp.maximum(t0, t_min))
+                         & (t0 < rec[0]))
+        leaf = tbl["bleaf"][node]
+        rec = jax.lax.cond(
+            anyhit & (leaf >= 0.0),
+            lambda r: sweep_cluster(jnp.maximum(leaf, 0.0).astype(jnp.int32),
+                                    r),
+            lambda r: r, rec,
+        )
+        nxt = jnp.where(anyhit, tbl["bhit"][base + node],
+                        tbl["bmiss"][base + node])
+        return nxt.astype(jnp.int32), rec
+
+    _, rec = jax.lax.while_loop(
+        lambda c: c[0] >= 0, bodyw, (jnp.int32(0), rec))
+    return rec
 
 
 def _kf(k):
@@ -674,10 +855,11 @@ def _closest_hit(bodies, sph, boxes, *, alive, ox, oy, oz, dx, dy, dz,
     else:
         dir_idx = jnp.int32(0)
 
+    sweep = _bvh_sweep if SWEEP_MODE == "bvh" else _hier_sweep
     if n_sph and not hier_sph:
         rec = loop(n_sph, sph_body, rec, unroll=n_sph)
     elif n_sph:
-        rec = _hier_sweep(
+        rec = sweep(
             sph, sph_body, rec, alive, ox, oy, oz,
             _safe_inv(dx), _safe_inv(dy), _safe_inv(dz),
             t_min, n_sph, SPH_CLUSTER, SPH_SUPER, dir_idx,
@@ -690,7 +872,7 @@ def _closest_hit(bodies, sph, boxes, *, alive, ox, oy, oz, dx, dy, dz,
         if not hier_box:
             rec = jax.lax.fori_loop(0, n_box, box_body, rec, unroll=n_box)
         else:
-            rec = _hier_sweep(
+            rec = sweep(
                 boxes, box_body, rec, alive, ox, oy, oz,
                 _safe_inv(dx), _safe_inv(dy), _safe_inv(dz),
                 t_min, n_box, BOX_CLUSTER, BOX_SUPER, dir_idx,

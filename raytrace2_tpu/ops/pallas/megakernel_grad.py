@@ -93,25 +93,19 @@ _BODY_TEX = mk._TEX_KEYS
 _FAMS = (_BODY_SPH, _BODY_QUAD, _BODY_BOX, _BODY_MED, _BODY_MAT, _BODY_TEX)
 
 
-GRAD_MAX_DEPTH_BIG = 24  # Mosaic VMEM bound for >256-record replays:
-#                            ~5 MB/bounce of unrolled pre-pass allocations
-#                            survive the segmented backward (measured:
-#                            book2 d24 fits at 125 MB, d50 wants 265 MB);
-#                            collapsing the pre-pass into a fori loop with
-#                            stacked winners would lift this.
-
-
 def grad_supported(sizes, max_depth, has_noise) -> bool:
-    """Any scene the forward megakernel can render; full corpus depth 50
-    for Cornell-class scenes, depth <= GRAD_MAX_DEPTH_BIG for >256-record
-    scenes (VMEM bound above). has_noise is allowed (hash-gradient noise
-    is pure arithmetic — and is exactly what makes geometry/camera
-    gradients continuous under the detached estimator)."""
+    """Any scene the forward megakernel can render, at any depth the
+    forward supports — the round-4 GRAD_MAX_DEPTH_BIG=24 cap on
+    >256-record scenes is gone: the pre-pass now runs as a fori loop
+    stacking winners/segment-carries into fixed VMEM scratch (~2 MB at
+    depth 64) instead of unrolling ~5 MB/bounce of live allocations.
+    has_noise is allowed (hash-gradient noise is pure arithmetic — and is
+    exactly what makes geometry/camera gradients continuous under the
+    detached estimator)."""
     del has_noise
     n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
     records = n_sph + n_quad + n_box + n_med
-    cap = GRAD_MAX_DEPTH if records <= 256 else GRAD_MAX_DEPTH_BIG
-    return records <= mk.MAX_SMEM_RECORDS and max_depth <= cap
+    return records <= mk.MAX_SMEM_RECORDS and max_depth <= GRAD_MAX_DEPTH
 
 
 def pack_diff_tables(tables):
@@ -352,12 +346,13 @@ def _mix_u32(key, c):
     return mk._mix(key ^ mk._mix(c * jnp.uint32(0x9E3779B9) + jnp.uint32(1)))
 
 
-def _grad_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
-                 n_mat, n_tex, n_box, has_checker, has_noise, sublanes,
-                 fwd_tile_r, fwd_block, linear_slots, n_samples):
+def _grad_kernel(refs_in, refs_out, scratch, *, max_depth, n_sph, n_quad,
+                 n_med, n_mat, n_tex, n_box, has_checker, has_noise,
+                 sublanes, fwd_tile_r, fwd_block, linear_slots, n_samples):
     (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs,
      dv_refs, g_r, g_g, g_b) = refs_in
     (d_camv, d_bg, *d_dv) = refs_out
+    w_scr, c_scr = scratch
     shape = (sublanes, mk.LANES)
     tile_r = sublanes * mk.LANES
 
@@ -445,15 +440,34 @@ def _grad_kernel(refs_in, refs_out, *, max_depth, n_sph, n_quad, n_med,
         production sweep, pinning each bounce's winner and each remat
         SEGMENT's input carry. The state advance uses the SAME
         resolve+shade as the differentiable replay, so the replay's
-        primal trajectory matches this one exactly."""
-        carry, tm = camera_rays(camv_d, key, s_f)
-        winners, seg_carries = [], []
-        for b in range(max_depth):
-            if b % seg_len == 0:
-                seg_carries.append(carry)
-            w = search(key, tm, carry)
-            winners.append(w)
-            carry = bounce(key, tm, carry, w, dv_vals, bg_d)
+        primal trajectory matches this one exactly.
+
+        A fori loop (not an unroll): winners stack into the ``w_scr``
+        VMEM scratch at the bounce index and segment carries into
+        ``c_scr`` — fixed ~2 MB of scratch at depth 64 where the r4
+        unrolled pre-pass kept ~5 MB/bounce of allocations live (the VMEM
+        wall that capped >256-record scenes at depth 24). The backward
+        then reads them back at static indices."""
+        carry0, tm = camera_rays(camv_d, key, s_f)
+
+        def pre_body(b, carry):
+            @pl.when(b % seg_len == 0)
+            def _():
+                seg = b // seg_len
+                for i, v in enumerate(carry):
+                    c_scr[seg, i] = v
+
+            w0, w1, w2 = search(key, tm, carry)
+            w_scr[0, b] = w0
+            w_scr[1, b] = w1
+            w_scr[2, b] = w2
+            return bounce(key, tm, carry, (w0, w1, w2), dv_vals, bg_d)
+
+        jax.lax.fori_loop(0, max_depth, pre_body, carry0)
+        winners = [tuple(w_scr[j, b] for j in range(3))
+                   for b in range(max_depth)]
+        seg_carries = [tuple(c_scr[s, i] for i in range(14))
+                       for s in range(n_seg)]
         return winners, seg_carries, tm
 
     def replay_whole(diff, key, s_f, winners):
@@ -576,10 +590,11 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
         dv_refs = refs[pos:pos + 6]
         pos += 6
         g_refs = refs[pos:pos + 3]
-        outs = refs[pos + 3:]
+        outs = refs[pos + 3:-2]
+        scratch = refs[-2:]
         _grad_kernel(
             (camv_r, seedi_r, bg_r, *tdicts, dv_refs, *g_refs),
-            outs, **kw,
+            outs, scratch, **kw,
         )
 
     n_tables = (len(mk._SPH_KEYS) + len(mk._QUAD_KEYS) + len(mk._BOX_KEYS)
@@ -589,6 +604,14 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
         jax.ShapeDtypeStruct((3,), jnp.float32),
     ) + tuple(jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in dv)
     out_specs = (smem_spec, smem_spec) + tuple(vmem_full for _ in dv)
+    # Pre-pass scratch (see _grad_kernel.primal_winners): stacked winners
+    # [3, depth, s, 128] + segment input carries [n_seg, 14, s, 128].
+    seg_len = max_depth if (n_sph + n_quad + n_med + n_box) <= 256 else 8
+    n_seg = -(-max_depth // seg_len)
+    scratch_shapes = [
+        pltpu.VMEM((3, max_depth, sublanes, mk.LANES), jnp.float32),
+        pltpu.VMEM((n_seg, 14, sublanes, mk.LANES), jnp.float32),
+    ]
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -596,6 +619,7 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
                   + [ray_spec] * 3),
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # Nearly the full 128 MB physical VMEM: the segmented replay's

@@ -34,13 +34,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @contextlib.contextmanager
 def patched_sweep(mode):
-    """Swap megakernel._hier_sweep during kernel tracing."""
+    """Swap the megakernel cluster sweep (both SWEEP_MODE implementations,
+    _hier_sweep and _bvh_sweep) during kernel tracing."""
     import jax
     from raytrace2_tpu.ops.pallas import megakernel as mk
 
     orig = mk._hier_sweep
+    orig_bvh = mk._bvh_sweep
+    repl = None
     if mode == "nosweep":
-        mk._hier_sweep = (
+        repl = (
             lambda tbl, body_fn, rec, *a, **kw: rec)
     elif mode == "linear":
         def lin(tbl, body_fn, rec, alive, ox, oy, oz, ix, iy, iz,
@@ -57,11 +60,15 @@ def patched_sweep(mode):
                                          unroll=cluster)
 
             return jax.lax.fori_loop(0, n_cl, cl_body, rec)
-        mk._hier_sweep = lin
+        repl = lin
+    if repl is not None:
+        mk._hier_sweep = repl
+        mk._bvh_sweep = repl
     try:
         yield
     finally:
         mk._hier_sweep = orig
+        mk._bvh_sweep = orig_bvh
 
 
 def main():
