@@ -11,6 +11,8 @@ import pytest
 from raytrace2_tpu.scene import loader, schema
 from raytrace2_tpu.ops import integrator
 
+pytestmark = pytest.mark.kernel  # interpret-mode Pallas: minutes each on CPU
+
 
 def _render_batch(scene, features, w, h, spp, depth, mega):
     feat = dict(features)

@@ -10,6 +10,8 @@ from raytrace2_tpu.scene import loader, schema
 from raytrace2_tpu.ops import intersect
 from raytrace2_tpu.ops.pallas import intersect_kernel as pk
 
+pytestmark = pytest.mark.kernel  # interpret-mode Pallas: minutes each on CPU
+
 
 def _rays(n, seed=0, lo=-30, hi=30):
     rs = np.random.RandomState(seed)

@@ -119,6 +119,7 @@ def test_distributed_gradient_matches_single_device(cornell, w, h):
     del dataclasses
 
 
+@pytest.mark.kernel
 @pytest.mark.parametrize("sp,dp", [(1, 8), (2, 4), (4, 2)])
 def test_sharded_megakernel_matches_single_device(cornell, sp, dp):
     """v4 megakernel under shard_map (pixel tiles with global offsets +
@@ -160,6 +161,7 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.kernel
 @pytest.mark.parametrize("sp,dp", [(1, 8), (2, 4)])
 def test_sharded_wavefront_matches_single_device(cornell, sp, dp):
     """Sorted-wavefront kernel under shard_map: each device sorts and
@@ -192,6 +194,7 @@ def test_sharded_wavefront_matches_single_device(cornell, sp, dp):
         np.testing.assert_allclose(shard, single, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.kernel
 @pytest.mark.parametrize("sp,dp", [(1, 8), (2, 4)])
 def test_distributed_mega_grad_matches_single_device(cornell, sp, dp):
     """Distributed fwd+bwd through the Pallas kernels

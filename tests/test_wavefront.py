@@ -14,6 +14,8 @@ import pytest
 from raytrace2_tpu.ops import integrator
 from raytrace2_tpu.scene import loader, schema
 
+pytestmark = pytest.mark.kernel  # interpret-mode Pallas: minutes each on CPU
+
 
 def _render(scene_host, scene, w, h, spp, depth, **kw):
     feat = dict(scene_host.features(), use_megakernel=True,
