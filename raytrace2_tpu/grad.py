@@ -58,9 +58,10 @@ def render_image(scene, features, seed, *, width, height, n_samples,
     if (
         features.get("use_megakernel", False)
         and features.get("mega_sizes") is not None
-        # Table-Perlin mode differentiates on the XLA path (native gathers
-        # with full AD); the replay kernel keeps hash noise only.
-        and features.get("noise_impl", "hash") == "hash"
+        # Both noise modes differentiate through the replay kernel:
+        # hash-gradient (default) and noise_impl="table" (the reference's
+        # exact 256-entry tables, PerlinNoiseGen.cpp:66-103 — gathers at
+        # detached lattice indices, recompute-in-backward).
     ):
         from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
 

@@ -430,7 +430,7 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
         radiance = mkg.trace_megakernel_batch_diff(
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
             n_samples=int(n_samples), wavefront_kw=wavefront_kw,
-            use_mtab=use_mtab, **kernel_kw,
+            use_mtab=use_mtab, ntab=ntab, **kernel_kw,
         )
     elif wavefront:
         from raytrace2_tpu.ops.pallas import wavefront_sorted as wf
@@ -445,6 +445,7 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
             tail_k=int(features.get("mega_tail_k", wf.TAIL_K)),
             tail_frac=float(features.get("mega_tail_frac", wf.TAIL_FRAC)),
             tail_compact=bool(features.get("mega_tail_compact", False)),
+            sort_impl=str(features.get("mega_sort_impl", wf.SORT_IMPL)),
             ntab=ntab, mtab=mtab, **kernel_kw,
         )
     else:

@@ -1144,7 +1144,7 @@ def _shade_advance(draw, carry, rec, mat6, tex_resolve, bg_r, *,
 
         if unroll_py:
             # The replay must stay cond-free (lax.cond has no
-            # transpose). Hash mode reroutes through the
+            # transpose). Both noise modes reroute through a
             # recompute-in-backward wrapper: the 7-octave chain's
             # intermediates otherwise all land in the vjp residual
             # set — ~2000 arrays PER BOUNCE, which at depth 50 blew
@@ -1153,7 +1153,8 @@ def _shade_advance(draw, carry, rec, mat6, tex_resolve, bg_r, *,
                 nfac = _noise_factor_remat(
                     npx, npy, npz, t_scale, t_ntype, nseed)
             else:
-                nfac = _noise_factor()
+                nfac = _noise_factor_remat_table(
+                    npx, npy, npz, t_scale, t_ntype, base_i, ntab)
         else:
             # The ~2000-op turbulence/perlin evaluation runs only when
             # some lane actually shades a noise texture this bounce — a
@@ -1301,6 +1302,55 @@ def _nfr_bwd(res, ct):
 
 
 _noise_factor_remat.defvjp(_nfr_fwd, _nfr_bwd)
+
+
+def _noise_factor_impl_table(npx, npy, npz, t_scale, t_ntype, base_i, ntab):
+    """TABLE-noise factor (marble|perlin select) — the exact 256-entry
+    perm/grad evaluation (PerlinNoiseGen.cpp:66-103) used by the
+    differentiable replay. The table gathers are indexed by detached
+    lattice coordinates (floor — a discrete event under the estimator);
+    gradients flow through the Hermite weights and (u - di) dot terms, so
+    d/d(p) and d/d(scale) are the true derivatives of the reference's own
+    noise with the tables held fixed. ntab carries no cotangent (the
+    perm/grad tables are not differentiable leaves)."""
+    marble = 0.5 * (1.0 + jnp.sin(
+        t_scale * npz + 10.0 * _table_turbulence(npx, npy, npz, base_i,
+                                                 ntab)))
+    perl = 0.5 * (1.0 + _table_perlin(
+        t_scale * npx, t_scale * npy, t_scale * npz, base_i, ntab))
+    return jnp.where(t_ntype == float(defs.NOISE_MARBLE), marble, perl)
+
+
+@jax.custom_vjp
+def _noise_factor_remat_table(npx, npy, npz, t_scale, t_ntype, base_i, ntab):
+    """Recompute-in-backward table-noise factor (the table-mode analog of
+    ``_noise_factor_remat``): forward saves only the inputs + the (small)
+    packed table; backward re-runs the 7-octave evaluation under a local
+    jax.vjp. Keeps the replay's per-bounce residual set flat."""
+    return _noise_factor_impl_table(npx, npy, npz, t_scale, t_ntype,
+                                    base_i, ntab)
+
+
+def _nfrt_fwd(npx, npy, npz, t_scale, t_ntype, base_i, ntab):
+    out = _noise_factor_impl_table(npx, npy, npz, t_scale, t_ntype,
+                                   base_i, ntab)
+    return out, (npx, npy, npz, t_scale, t_ntype, base_i, ntab)
+
+
+def _nfrt_bwd(res, ct):
+    npx, npy, npz, t_scale, t_ntype, base_i, ntab = res
+    _, vjp_fn = jax.vjp(
+        lambda a, b, c, d: _noise_factor_impl_table(
+            a, b, c, d, t_ntype, base_i, ntab),
+        npx, npy, npz, t_scale)
+    d_px, d_py, d_pz, d_sc = vjp_fn(ct)
+    import numpy as _np
+    return (d_px, d_py, d_pz, d_sc, jnp.zeros_like(t_ntype),
+            _np.zeros(base_i.shape, jax.dtypes.float0),
+            jnp.zeros_like(ntab))
+
+
+_noise_factor_remat_table.defvjp(_nfrt_fwd, _nfrt_bwd)
 
 
 def _lattice_hash(ix, iy, iz, seed_u):

@@ -257,7 +257,8 @@ def _make_winner_search(sph, qd, boxes, med, *, n_sph, n_quad, n_med, n_box,
 
 
 def _make_resolve_shade(*, n_sph, n_quad, n_med, n_mat, n_tex, n_box,
-                        has_checker, has_noise, shape, max_depth):
+                        has_checker, has_noise, shape, max_depth,
+                        ntab=None):
     """The differentiable per-bounce transition given a pinned winner
     (matf, idx, famid): gather the winner's parameters from the packed
     VMEM tables, rerun its family's intersection body once (the winner's
@@ -334,7 +335,7 @@ def _make_resolve_shade(*, n_sph, n_quad, n_med, n_mat, n_tex, n_box,
 
         return mk._shade_advance(
             draw, carry, rec, mat6, tex_resolve, bg_d,
-            has_checker=has_checker, has_noise=has_noise, ntab=None,
+            has_checker=has_checker, has_noise=has_noise, ntab=ntab,
             unroll_py=True, shape=shape, max_depth_f=max_depth_f,
             n_med=n_med,
         )
@@ -348,9 +349,11 @@ def _mix_u32(key, c):
 
 def _grad_kernel(refs_in, refs_out, scratch, *, max_depth, n_sph, n_quad,
                  n_med, n_mat, n_tex, n_box, has_checker, has_noise,
-                 sublanes, fwd_tile_r, fwd_block, linear_slots, n_samples):
+                 sublanes, fwd_tile_r, fwd_block, linear_slots, n_samples,
+                 phase="full"):
     (camv, seedi, bg_r, sph, qd, boxes, med, mats, texs,
-     dv_refs, g_r, g_g, g_b) = refs_in
+     dv_refs, g_r, g_g, g_b) = refs_in[:13]
+    ntab_ref = refs_in[13] if len(refs_in) > 13 else None
     (d_camv, d_bg, *d_dv) = refs_out
     w_scr, c_scr = scratch
     shape = (sublanes, mk.LANES)
@@ -397,7 +400,8 @@ def _grad_kernel(refs_in, refs_out, scratch, *, max_depth, n_sph, n_quad,
     search = _make_winner_search(sph, qd, boxes, med, **kw)
     bounce = _make_resolve_shade(
         n_mat=n_mat, n_tex=n_tex, has_checker=has_checker,
-        has_noise=has_noise, max_depth=max_depth, **kw,
+        has_noise=has_noise, max_depth=max_depth,
+        ntab=None if ntab_ref is None else ntab_ref[...], **kw,
     )
     # Rematerialize each bounce when its residuals would blow VMEM: the
     # 7-octave hash-noise alone puts ~2000 intermediates per bounce into
@@ -486,6 +490,13 @@ def _grad_kernel(refs_in, refs_out, scratch, *, max_depth, n_sph, n_quad,
         key = mk.v4_sample_key(seed_i, pid_u, s_f)
         winners, seg_carries, tm = primal_winners(key, s_f)
 
+        if phase == "prepass":
+            # Profiling mode (tools/profile_grad.py): pre-pass only —
+            # keep its outputs observable so nothing is DCE'd.
+            for i in range(min(N_CAMV_DIFF, 3)):
+                d_camv[i] = d_camv[i] + jnp.sum(winners[-1][i])
+            return 0
+
         if n_seg == 1:
             _, vjp_fn = jax.vjp(
                 lambda d: replay_whole(d, key, s_f, winners), diff0)
@@ -550,16 +561,19 @@ def _grad_kernel(refs_in, refs_out, scratch, *, max_depth, n_sph, n_quad,
     jax.jit,
     static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
                      "sizes", "interpret", "fwd_sublanes", "linear_slots",
-                     "n_samples"),
+                     "n_samples", "phase", "sublanes"),
 )
 def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
                has_checker, has_noise, sizes, interpret, fwd_sublanes,
-               linear_slots, n_samples):
+               linear_slots, n_samples, ntab=None, phase="full",
+               sublanes=None):
     """Launch the backward kernel; returns cotangent arrays for
-    (camv[:19], background, packed diff tables)."""
+    (camv[:19], background, packed diff tables). ``phase``/``sublanes``
+    are profiling knobs (tools/profile_grad.py); production uses the
+    defaults."""
     sph, qd, boxes, med, mats, texs = tables
     n_sph, n_quad, n_mat, n_tex, n_med, n_box = sizes
-    sublanes = GRAD_SUBLANES
+    sublanes = GRAD_SUBLANES if sublanes is None else sublanes
     tile_r = sublanes * mk.LANES
     assert n_rays % tile_r == 0, (n_rays, tile_r)
     rows = n_rays // mk.LANES
@@ -577,6 +591,7 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
         n_mat=n_mat, n_tex=n_tex, n_box=n_box, has_checker=has_checker,
         has_noise=has_noise, sublanes=sublanes, fwd_tile_r=fwd_tile_r,
         fwd_block=fwd_block, linear_slots=linear_slots, n_samples=n_samples,
+        phase=phase,
     )
 
     def kern(*refs):
@@ -590,10 +605,15 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
         dv_refs = refs[pos:pos + 6]
         pos += 6
         g_refs = refs[pos:pos + 3]
-        outs = refs[pos + 3:-2]
+        pos += 3
+        extra = ()
+        if ntab is not None:
+            extra = (refs[pos],)
+            pos += 1
+        outs = refs[pos:-2]
         scratch = refs[-2:]
         _grad_kernel(
-            (camv_r, seedi_r, bg_r, *tdicts, dv_refs, *g_refs),
+            (camv_r, seedi_r, bg_r, *tdicts, dv_refs, *g_refs, *extra),
             outs, scratch, **kw,
         )
 
@@ -612,11 +632,12 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
         pltpu.VMEM((3, max_depth, sublanes, mk.LANES), jnp.float32),
         pltpu.VMEM((n_seg, 14, sublanes, mk.LANES), jnp.float32),
     ]
+    ntab_ops = () if ntab is None else (jnp.asarray(ntab, jnp.float32),)
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=([smem_spec] * (3 + n_tables) + [vmem_full] * 6
-                  + [ray_spec] * 3),
+                  + [ray_spec] * 3 + [vmem_full] * len(ntab_ops)),
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch_shapes,
@@ -641,6 +662,7 @@ def _grad_call(camv, seedi, tables, background, g, *, n_rays, max_depth,
         g[:, 0].reshape(rows, mk.LANES),
         g[:, 1].reshape(rows, mk.LANES),
         g[:, 2].reshape(rows, mk.LANES),
+        *ntab_ops,
     )
     return outs
 
@@ -673,10 +695,10 @@ def _make_diff_render(n_rays, max_depth, has_checker, has_noise, sizes,
             sublanes=fwd_sublanes, **dict(wavefront_kw),
         )
 
-        def fwd_render(camv, seedi, tables, background):
+        def fwd_render(camv, seedi, tables, background, ntab):
             return wf.trace_wavefront_batch(
-                camv, seedi, tables, background, mtab=fwd_mtab(tables),
-                **fwd_kw)
+                camv, seedi, tables, background, ntab=ntab,
+                mtab=fwd_mtab(tables), **fwd_kw)
     else:
         fwd_kw = dict(
             n_rays=n_rays, max_depth=max_depth, has_checker=has_checker,
@@ -685,24 +707,24 @@ def _make_diff_render(n_rays, max_depth, has_checker, has_noise, sizes,
             linear_slots=linear_slots,
         )
 
-        def fwd_render(camv, seedi, tables, background):
+        def fwd_render(camv, seedi, tables, background, ntab):
             return mk.trace_megakernel_batch(
-                camv, seedi, tables, background, mtab=fwd_mtab(tables),
-                **fwd_kw)
+                camv, seedi, tables, background, ntab=ntab,
+                mtab=fwd_mtab(tables), **fwd_kw)
     # The bwd kernel re-blocks the cotangent with its own (smaller) tiles;
     # n_rays must divide both.
     grad_pad = -n_rays % (GRAD_SUBLANES * mk.LANES)
 
     @jax.custom_vjp
-    def diff_render(camv, seedi, tables, background):
-        return fwd_render(camv, seedi, tables, background)
+    def diff_render(camv, seedi, tables, background, ntab):
+        return fwd_render(camv, seedi, tables, background, ntab)
 
-    def fwd(camv, seedi, tables, background):
-        out = fwd_render(camv, seedi, tables, background)
-        return out, (camv, seedi, tables, background)
+    def fwd(camv, seedi, tables, background, ntab):
+        out = fwd_render(camv, seedi, tables, background, ntab)
+        return out, (camv, seedi, tables, background, ntab)
 
     def bwd(res, g):
-        camv, seedi, tables, background = res
+        camv, seedi, tables, background, ntab = res
         if grad_pad:
             g = jnp.concatenate(
                 [g, jnp.zeros((grad_pad, 3), jnp.float32)], axis=0)
@@ -711,13 +733,14 @@ def _make_diff_render(n_rays, max_depth, has_checker, has_noise, sizes,
             n_rays=n_rays + grad_pad, max_depth=max_depth,
             has_checker=has_checker, has_noise=has_noise, sizes=sizes,
             interpret=interpret, fwd_sublanes=fwd_sublanes,
-            linear_slots=linear_slots, n_samples=n_samples,
+            linear_slots=linear_slots, n_samples=n_samples, ntab=ntab,
         )
         dcamv, dbg = outs[0], outs[1]
         d_tables = _unpack_diff_cotangent(outs[2:], tables)
         d_camv = jnp.zeros((mk._CAMV_LEN,), jnp.float32).at[:N_CAMV_DIFF].set(dcamv)
         d_seedi = np.zeros((1,), dtype=jax.dtypes.float0)
-        return d_camv, d_seedi, d_tables, dbg
+        d_ntab = None if ntab is None else jnp.zeros_like(ntab)
+        return d_camv, d_seedi, d_tables, dbg, d_ntab
 
     diff_render.defvjp(fwd, bwd)
     return diff_render
@@ -728,18 +751,22 @@ def trace_megakernel_batch_diff(camv, seedi, tables, background, *, n_rays,
                                 sizes=None, interpret=False,
                                 sublanes=mk.SUBLANES, wave_frac=1.0,
                                 linear_slots=False, n_samples=1,
-                                wavefront_kw=None, use_mtab=False):
+                                wavefront_kw=None, use_mtab=False,
+                                ntab=None):
     """Differentiable drop-in for megakernel.trace_megakernel_batch.
 
     Forward: the fast v4 kernel (or the sorted-wavefront kernel when
     ``wavefront_kw`` is given — big scenes), untouched. Backward: the
     indexed-replay kernel (see module docstring). ``n_samples`` must be
     the STATIC sample count the camv batch encodes (the backward loops
-    over it in-kernel)."""
+    over it in-kernel). ``ntab`` (the packed exact Perlin perm/grad
+    operand, noise_impl="table") routes BOTH directions through the
+    reference's own 256-entry table noise (PerlinNoiseGen.cpp:66-103) —
+    table values carry no cotangent; p/scale gradients are exact."""
     fn = _make_diff_render(
         n_rays, max_depth, has_checker, has_noise, tuple(sizes),
         interpret, sublanes, wave_frac, linear_slots, n_samples,
         None if wavefront_kw is None else tuple(sorted(wavefront_kw.items())),
         use_mtab,
     )
-    return fn(camv, seedi, tables, background)
+    return fn(camv, seedi, tables, background, ntab)

@@ -73,6 +73,10 @@ TAIL_FRAC = 0.65
 SORT_EVERY = 2  # interleaved A/B medians (book2): every-1 5.34, every-2
 #                 5.53, every-3 5.58 Mpaths/s — cadence 2 keeps most of the
 #                 coherence at half the sort cost
+SORT_IMPL = "gather"  # "gather": argsort + packed row-gather;
+#                       "multi": one 18-operand lax.sort (A/B knob —
+#                       features mega_sort_impl; images bitwise-identical:
+#                       jnp.argsort and lax.sort are both stable)
 
 
 class _View:
@@ -358,7 +362,7 @@ def init_wavefront_state(n_rays, camv):
     static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
                      "sizes", "interpret", "sublanes", "sort_every",
                      "k_bounces", "key_mode", "tail_k", "tail_frac",
-                     "tail_compact"),
+                     "tail_compact", "sort_impl"),
 )
 def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                           max_depth, has_checker, has_noise=False,
@@ -366,7 +370,8 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                           sublanes=SORT_SUBLANES, sort_every=1,
                           k_bounces=1, ntab=None, key_mode="pos",
                           tail_k=None, tail_frac=0.0,
-                          tail_compact=False, mtab=None):
+                          tail_compact=False, mtab=None,
+                          sort_impl="gather"):
     """Drop-in for megakernel.trace_megakernel_batch (linear slot layout
     ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3].
 
@@ -417,11 +422,17 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
         return jnp.sum(runnable.astype(jnp.int32))
 
     def do_sort(state):
-        # Row-gather of ONE packed [n, 17] array: XLA lowers a
-        # multi-array gather inside while_loop to a slow serialized
-        # form (~60 ms/step measured); the packed row gather runs at
-        # HBM bandwidth (~0.05 ms).
         keys = sort_keys(state, n_samples, bb_lo, bb_hi, key_mode)
+        if sort_impl == "multi":
+            # One multi-operand lax.sort: key + all 17 state columns in a
+            # single sort op, no materialized permutation.
+            outs = jax.lax.sort(
+                (keys,) + tuple(state[k] for k in _STATE_KEYS), num_keys=1)
+            return dict(zip(_STATE_KEYS, outs[1:]))
+        # Default: argsort + row-gather of ONE packed [n, 17] array (a
+        # multi-array gather inside while_loop lowers to a slow serialized
+        # form, ~60 ms/step measured; the packed row gather runs at HBM
+        # bandwidth).
         perm = jnp.argsort(keys)
         pk = jnp.stack([state[k] for k in _STATE_KEYS], axis=1)
         pk = pk[perm]

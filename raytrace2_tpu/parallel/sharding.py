@@ -323,7 +323,8 @@ def grad_sharded_auto(scene, features, target, seed, *, width, height,
     if (
         feats.get("use_megakernel", False)
         and feats.get("mega_sizes") is not None
-        and feats.get("noise_impl", "hash") == "hash"
+        # hash AND table noise both differentiate through the replay
+        # kernel (r5: table mode gathers at detached lattice indices).
     ):
         from raytrace2_tpu.ops.pallas import megakernel_grad as mkg
 

@@ -611,8 +611,28 @@ class _Flattener:
                     p.medium["material"],
                 )
             )
-        else:
-            raise SceneError("constant_medium boundary must be a sphere or box")
+        elif p.kind == "quad":
+            # Degenerate by the reference's own semantics: ConstantMedium
+            # needs an entry AND an exit hit (ConstantMedium.cpp:14-33),
+            # and a flat quad is hit once — the second Hit (from just past
+            # the first) misses, so the medium never scatters and the
+            # wrapped quad effectively disappears from the render. Parity
+            # = emit NOTHING, loudly.
+            import sys
+            print(
+                "warning: constant_medium over a flat quad never scatters "
+                "(the reference's two-hit boundary test always fails, "
+                "src/cpu_raytrace/ConstantMedium.cpp:14-33); primitive "
+                "dropped to match",
+                file=sys.stderr,
+            )
+        else:  # pragma: no cover — parser only emits sphere/quad/box
+            raise SceneError(
+                f"constant_medium boundary {p.kind!r} cannot be authored "
+                "by the reference scene format (Serialize.cpp:287-341: "
+                "only sphere, box — the 6-quad convex MakeBox, supported "
+                "here incl. transforms via the carried inverse affine — "
+                "and flat quads can carry the wrapper)")
 
 
 def _walk(node: dict, parent: np.ndarray | None, fl: _Flattener) -> None:

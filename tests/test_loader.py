@@ -225,22 +225,33 @@ def _write_scene(tmp_path, name, overrides):
              "materials": [{"type": "subsurface"}]},
             "Invalid material type",
         ),
-        (
-            "medium_quad_boundary",
-            {"textures": [{"type": "solid_color", "albedo": [1, 0, 0]},
-                          {"type": "solid_color", "albedo": [0, 1, 0]}],
-             "primitives": [{"type": "quad", "q": [0, 0, 0], "u": [1, 0, 0],
-                             "v": [0, 1, 0], "material": 0,
-                             "constant_medium": {"density": 0.5,
-                                                 "albedo": [1, 1, 1]}}]},
-            "sphere or box",
-        ),
     ],
 )
 def test_scope_edges_raise_loudly(tmp_path, name, overrides, needle):
     path = _write_scene(tmp_path, name + ".json", overrides)
     with pytest.raises(loader.SceneError, match=needle):
         loader.load_scene(path)
+
+
+def test_medium_over_flat_quad_is_reference_noop(tmp_path, capsys):
+    """The full authorable constant_medium surface is sphere | box (the
+    6-quad convex MakeBox — 'quad-composed' boundary, supported incl.
+    transforms) | a flat quad (Serialize.cpp:287-341). The flat-quad case
+    never scatters in the reference — ConstantMedium::Hit needs entry AND
+    exit hits and a plane is hit once (ConstantMedium.cpp:14-33) — so the
+    wrapped primitive disappears. Parity: load fine, emit nothing, warn."""
+    overrides = {
+        "textures": [{"type": "solid_color", "albedo": [1, 0, 0]},
+                     {"type": "solid_color", "albedo": [0, 1, 0]}],
+        "primitives": [{"type": "quad", "q": [0, 0, 0], "u": [1, 0, 0],
+                        "v": [0, 1, 0], "material": 0,
+                        "constant_medium": {"density": 0.5,
+                                            "albedo": [1, 1, 1]}}]}
+    path = _write_scene(tmp_path, "medium_quad.json", overrides)
+    scene, _ = loader.load_scene(path)
+    assert int(scene.media.active.sum()) == 0
+    assert int(scene.quads.active.sum()) == 0
+    assert "never scatters" in capsys.readouterr().err
 
 
 def test_nested_checker_loads_with_depth(tmp_path):

@@ -20,6 +20,8 @@ import pytest
 from raytrace2_tpu import grad as grad_mod
 from raytrace2_tpu.scene import loader, schema
 
+pytestmark = pytest.mark.kernel  # interpret-mode Pallas: minutes each on CPU
+
 
 def _make(tmp_path, j, name):
     p = tmp_path / name
@@ -147,6 +149,41 @@ def test_ad_matches_fd_geometry_noise(tmp_path, which, eps):
     def f(delta):
         return jnp.mean(grad_mod.render_image(move(delta), features, 0,
                                               **NOISE_KW))
+
+    got = float(jax.grad(f)(0.0))
+    want = float((f(eps) - f(-eps)) / (2 * eps))
+    assert np.isfinite(got), f"{which}: non-finite AD"
+    if abs(want) < 5e-5 and abs(got) < 5e-5:
+        return
+    assert np.sign(got) == np.sign(want), f"{which}: ad={got} fd={want}"
+    assert 0.5 < abs(got / want) < 2.0, f"{which}: ad={got} fd={want}"
+
+
+@pytest.mark.slow  # table-noise replay interpret compile measured 60+ min
+#                    on CPU; the quick gate is tools/check_table_grad.py
+#                    on-chip (compiles in minutes there)
+@pytest.mark.parametrize("which,eps", [("tex_scale", 5e-3)])
+def test_ad_matches_fd_table_noise(tmp_path, which, eps):
+    """noise_impl="table" through the kernel VJP (r5: the reference's
+    exact 256-entry perm/grad tables differentiate in the replay —
+    gathers at detached lattice indices, recompute-in-backward wrapper;
+    previously table mode silently fell back to the XLA scan). Depth 2 /
+    tiny res: table-mode interpret compiles are heavy."""
+    scene, features = _make(tmp_path, NOISE_J, "nt.json")
+    feat = dict(features)
+    assert feat.get("has_noise")
+    feat["noise_impl"] = "table"
+    features = tuple(sorted(feat.items()))
+    kw = dict(width=6, height=4, n_samples=1, max_depth=2, sqrt_spp=1)
+
+    def move(delta):
+        return dataclasses.replace(scene, textures=dataclasses.replace(
+            scene.textures, scale=scene.textures.scale.at[0].add(delta)))
+
+    @jax.jit
+    def f(delta):
+        return jnp.mean(grad_mod.render_image(move(delta), features, 0,
+                                              **kw))
 
     got = float(jax.grad(f)(0.0))
     want = float((f(eps) - f(-eps)) / (2 * eps))

@@ -42,10 +42,12 @@ def timeit(fn, reps=20):
 
 
 def jax_block(out):
+    # Forced value readback — block_until_ready can return early through
+    # the network-attached runtime (see bench.py); reading one element of
+    # the LAST output drains the in-order device stream.
     import jax
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(np.asarray(leaf).ravel()[0])
 
 
 def main():
@@ -125,10 +127,19 @@ def main():
         pk = jnp.stack([state[kk] for kk in wf._STATE_KEYS], axis=1)[p]
         return {kk: pk[:, i] for i, kk in enumerate(wf._STATE_KEYS)}
 
+    @jax.jit
+    def sort_multi(state):
+        # One multi-operand lax.sort instead of argsort + packed gather.
+        k = wf.sort_keys(state, n_samples, bb_lo, bb_hi, "pos")
+        outs = jax.lax.sort(
+            (k,) + tuple(state[kk] for kk in wf._STATE_KEYS), num_keys=1)
+        return dict(zip(wf._STATE_KEYS, outs[1:]))
+
     res["keys_ms"] = round(timeit(lambda: keys_fn(state)), 3)
     res["argsort_ms"] = round(timeit(lambda: argsort_fn(keys)), 3)
     res["gather_ms"] = round(timeit(lambda: gather_fn(state, perm)), 3)
     res["sort_full_ms"] = round(timeit(lambda: sort_full(state)), 3)
+    res["sort_multi_ms"] = round(timeit(lambda: sort_multi(state)), 3)
 
     # ---- kernel step variants ------------------------------------------
     def make_run(sublanes, with_mtab, mode, k_bounces=1):

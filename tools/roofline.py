@@ -107,33 +107,42 @@ def ceilings():
 
     SUB, LAN, CHAIN = 256, 128, 512
 
-    def fma_kernel(x_ref, o_ref):
+    def fma_kernel(x_ref, y_ref, o_ref):
+        # Two mutually-dependent accumulators: the chain cannot be
+        # constant-folded or reassociated (x*a+b with literal a,b WAS
+        # folded by Mosaic to ~2 flops, reading 1.7 Pflop/s).
         x = x_ref[...]
-        a = jnp.float32(1.000001)
-        b = jnp.float32(1e-7)
+        y = y_ref[...]
         for _ in range(CHAIN):
-            x = x * a + b
-        o_ref[...] = x
+            x = x * y + jnp.float32(1e-7)
+            y = y * x + jnp.float32(1e-7)
+        o_ref[...] = x + y
 
     @jax.jit
-    def fma(x):
+    def fma(x, y):
         return pl.pallas_call(
             fma_kernel,
             out_shape=jax.ShapeDtypeStruct((SUB, LAN), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            grid=(1024,),
-        )(x)
+            grid=(256,),
+        )(x, y)
 
-    x = jnp.ones((SUB, LAN), jnp.float32)
-    fma(x).block_until_ready()
-    t0 = time.perf_counter()
-    reps = 20
-    for _ in range(reps):
-        out = fma(x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    vpu = 1024 * SUB * LAN * CHAIN * 2 / dt  # fma = 2 flops
+    # Forced scalar readback after the rep queue: block_until_ready can
+    # return early through the network-attached (axon) runtime; reading a
+    # VALUE of the last output forces the in-order device stream to drain.
+    def timed(fn, reps=10):
+        float(np.asarray(fn()).ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        float(np.asarray(out).ravel()[0])
+        return (time.perf_counter() - t0) / reps
+
+    x = jnp.full((SUB, LAN), 0.99, jnp.float32)
+    y = jnp.full((SUB, LAN), 1.01, jnp.float32)
+    dt = timed(lambda: fma(x, y))
+    vpu = 256 * SUB * LAN * CHAIN * 2 * 2 / dt  # 2 fma = 4 flops/iter
 
     N = 64 * 1024 * 1024 // 4
 
@@ -142,17 +151,12 @@ def ceilings():
         return x * 1.0000001
 
     big = jnp.ones((N,), jnp.float32)
-    copy(big).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = copy(big)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    dt = timed(lambda: copy(big))
     hbm = 2 * N * 4 / dt
     return {"vpu_peak_gflops": round(vpu / 1e9, 1),
             "hbm_gbps": round(hbm / 1e9, 1),
-            "chain": CHAIN, "note": "fma chain on [256,128] vregs; "
-            "copy = r+w bytes of a 256 MB stream"}
+            "chain": CHAIN, "note": "dependent fma chain on [256,128] "
+            "vregs x 256 grid steps; copy = r+w bytes of a 256 MB stream"}
 
 
 def count_bodies(scene_path):

@@ -40,6 +40,8 @@ def main():
                     help="phase-2 bounces/launch (0 = single phase)")
     ap.add_argument("--tail-frac", default="0.0",
                     help="runnable-population fraction switching to phase 2")
+    ap.add_argument("--sort-impl", default="gather",
+                    help="gather | multi (comma list)")
     ap.add_argument("--out", default=None, help="JSONL results file")
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode (CPU smoke test only)")
@@ -69,12 +71,13 @@ def main():
         [int(x) for x in args.sublanes.split(",")],
         [int(x) for x in args.tail_k.split(",")],
         [float(x) for x in args.tail_frac.split(",")],
+        args.sort_impl.split(","),
     ))
     results = []
-    for key_mode, kb, se, sl, tk, tf in combos:
+    for key_mode, kb, se, sl, tk, tf, si in combos:
         feat = dict(base, mega_sort_key=key_mode, mega_k_bounces=kb,
                     mega_sort_every=se, mega_sublanes=sl,
-                    mega_tail_k=tk, mega_tail_frac=tf)
+                    mega_tail_k=tk, mega_tail_frac=tf, mega_sort_impl=si)
         run(feat, 1)  # compile
         t0 = time.perf_counter()
         r = run(feat, args.spp)
@@ -82,6 +85,7 @@ def main():
         mps = args.spp * W * H / dt / 1e6
         rec = {"key": key_mode, "k_bounces": kb, "sort_every": se,
                "sublanes": sl, "tail_k": tk, "tail_frac": tf,
+               "sort_impl": si,
                "mpaths_s": round(mps, 3),
                "mean": float(r.mean() / args.spp)}
         results.append(rec)
