@@ -47,7 +47,7 @@ def jax_block(out):
     # the LAST output drains the in-order device stream.
     import jax
     leaf = jax.tree_util.tree_leaves(out)[0]
-    float(np.asarray(leaf).ravel()[0])
+    float(leaf.ravel()[0])
 
 
 def main():

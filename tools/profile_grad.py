@@ -84,7 +84,7 @@ def main():
         # Forced value readback: block_until_ready can return early
         # through the network-attached runtime (see bench.py).
         leaf = jax.tree_util.tree_leaves(out)[0]
-        return float(np.asarray(leaf).ravel()[0])
+        return float(leaf.ravel()[0])
 
     def timeit(fn, reps):
         readback(fn())

@@ -132,11 +132,14 @@ def ceilings():
     # return early through the network-attached (axon) runtime; reading a
     # VALUE of the last output forces the in-order device stream to drain.
     def timed(fn, reps=10):
-        float(np.asarray(fn()).ravel()[0])
+        # Device-side scalar readback: drains the in-order stream without
+        # pulling the full array through the tunnel (np.asarray of a
+        # 256 MB output measured 140 ms of pure transfer).
+        float(fn().ravel()[0])
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn()
-        float(np.asarray(out).ravel()[0])
+        float(out.ravel()[0])
         return (time.perf_counter() - t0) / reps
 
     x = jnp.full((SUB, LAN), 0.99, jnp.float32)
@@ -144,19 +147,30 @@ def ceilings():
     dt = timed(lambda: fma(x, y))
     vpu = 256 * SUB * LAN * CHAIN * 2 * 2 / dt  # 2 fma = 4 flops/iter
 
-    N = 64 * 1024 * 1024 // 4
+    # HBM: SLOPE of k chained big-array shuffles (each gather forces a
+    # full read+write; k=2 vs k=6 cancels the per-dispatch overhead that
+    # swamped a single-pass copy through the tunnel).
+    N = 32 * 1024 * 1024
 
-    @jax.jit
-    def copy(x):
-        return x * 1.0000001
+    def chain(k):
+        @jax.jit
+        def f(x):
+            for i in range(k):
+                # roll + add: streaming r+w per step; the interleaved adds
+                # keep the rolls from composing into one.
+                x = jnp.roll(x, 12345 + i) + 1.0
+            return x
+        return f
 
     big = jnp.ones((N,), jnp.float32)
-    dt = timed(lambda: copy(big))
-    hbm = 2 * N * 4 / dt
+    f2, f6 = chain(2), chain(6)
+    dt = timed(lambda: f6(big)) - timed(lambda: f2(big))
+    hbm = 4 * 2 * N * 4 / dt  # 4 extra passes, r+w each
     return {"vpu_peak_gflops": round(vpu / 1e9, 1),
             "hbm_gbps": round(hbm / 1e9, 1),
             "chain": CHAIN, "note": "dependent fma chain on [256,128] "
-            "vregs x 256 grid steps; copy = r+w bytes of a 256 MB stream"}
+            "vregs x 256 grid steps; hbm = slope of 2-vs-6 chained "
+            "128 MB shuffle passes (dispatch overhead cancels)"}
 
 
 def count_bodies(scene_path):
