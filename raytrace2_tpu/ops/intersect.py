@@ -135,6 +135,74 @@ def _sphere_record(spheres, o, d, time, t, idx):
 
 
 # --------------------------------------------------------------------------
+# Ellipsoids (spheres under non-similarity affines)
+# --------------------------------------------------------------------------
+
+
+def _ellipsoid_rays(ell, o, d):
+    """Model-space rays per (ray, ellipsoid): om/dm [N,E,3]. The direction
+    is NOT renormalized, so the model-space hit parameter equals the
+    world-space t (affine maps preserve the ray parameter) — see
+    schema.Ellipsoids for the convention vs the reference's
+    model-units t (Transform.cpp:17)."""
+    inv = ell.inv_model  # [E,3,4]
+    a = inv[:, :, :3]
+    b = inv[:, :, 3]
+    om = jnp.einsum("nj,eij->nei", o, a) + b[None]
+    dm = jnp.einsum("nj,eij->nei", d, a)
+    return om, dm
+
+
+def _ellipsoid_ts(ell, o, d, time, t_min, t_max):
+    """Per-(ray, ellipsoid) accepted hit t, BIG where miss. Shapes [N,E].
+    The model-space solve is the reference sphere quadratic
+    (Sphere.cpp:7-26) against the moving model-space center."""
+    om, dm = _ellipsoid_rays(ell, o, d)
+    c = ell.center0[None] + time[:, None, None] * ell.displacement[None]
+    oc = c - om
+    a = jnp.sum(dm * dm, -1)
+    h = jnp.sum(dm * oc, -1)
+    cc = jnp.sum(oc * oc, -1) - (ell.radius * ell.radius)[None]
+    disc = h * h - a * cc
+    has_root = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+    a_safe = jnp.where(a > 0.0, a, 1.0)
+    root0 = (h - sq) / a_safe
+    root1 = (h + sq) / a_safe
+    tmin = t_min[:, None] if t_min.ndim else t_min
+    tmax = t_max[:, None]
+    ok0 = (root0 > tmin) & (root0 < tmax)
+    ok1 = (root1 > tmin) & (root1 < tmax)
+    root = jnp.where(ok0, root0, root1)
+    hit = has_root & (ok0 | ok1) & ell.active[None, :] & (a > 0.0)
+    return jnp.where(hit, root, BIG)
+
+
+def _ellipsoid_record(ell, o, d, time, t, idx):
+    """Point/normal/uv for the winning ellipsoid per ray: model-space
+    sphere record mapped back — normal via the inverse-transpose linear
+    part, normalized (Transform.cpp:38,87); UV from the model-space
+    outward normal (the reference's GetUV runs in model space)."""
+    inv = ell.inv_model[idx]  # [N,3,4]
+    om = jnp.einsum("nj,nij->ni", o, inv[:, :, :3]) + inv[:, :, 3]
+    dm = jnp.einsum("nj,nij->ni", d, inv[:, :, :3])
+    c = ell.center0[idx] + time[:, None] * ell.displacement[idx]
+    rad = ell.radius[idx]
+    pm = om + t[:, None] * dm
+    outward_m = (pm - c) / jnp.where(rad != 0.0, rad, 1.0)[:, None]
+    n_raw = jnp.einsum("nj,nij->ni", outward_m, ell.inv_t[idx])
+    n_len = jnp.sqrt(jnp.maximum(jnp.sum(n_raw * n_raw, -1), 1e-24))
+    outward = n_raw / n_len[:, None]
+    point = o + t[:, None] * d
+    front = jnp.sum(d * outward, -1) < 0.0
+    normal = jnp.where(front[:, None], outward, -outward)
+    theta = jnp.arccos(jnp.clip(-outward_m[:, 1], -1.0, 1.0))
+    phi = jnp.arctan2(-outward_m[:, 2], outward_m[:, 0]) + jnp.pi
+    uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], -1)
+    return point, normal, front, uv, ell.material[idx]
+
+
+# --------------------------------------------------------------------------
 # Quads
 # --------------------------------------------------------------------------
 
@@ -406,7 +474,17 @@ def closest_hit(scene, o, d, time, u_media=None, t_min=None, t_max=None,
     bt_m = jnp.min(ts_m, -1)
     bi_m = jnp.argmin(ts_m, -1)
 
-    fam_ts = jnp.stack([bt_s, bt_q, bt_m], -1)           # [N,3]
+    has_ell = (features.get("has_ellipsoids", False)
+               and getattr(scene, "ellipsoids", None) is not None)
+    if has_ell:
+        ts_e = _ellipsoid_ts(scene.ellipsoids, o, d, time, t_min, t_max)
+        bt_e = jnp.min(ts_e, -1)
+        bi_e = jnp.argmin(ts_e, -1)
+    else:
+        bt_e = jnp.full((n,), BIG)
+        bi_e = jnp.zeros((n,), jnp.int32)
+
+    fam_ts = jnp.stack([bt_s, bt_q, bt_m, bt_e], -1)      # [N,4]
     fam = jnp.argmin(fam_ts, -1)                          # winning family
     t = jnp.min(fam_ts, -1)
     valid = t < BIG
@@ -414,14 +492,16 @@ def closest_hit(scene, o, d, time, u_media=None, t_min=None, t_max=None,
     rec_s = _sphere_record(scene.spheres, o, d, time, bt_s, bi_s)
     rec_q = _quad_record(scene.quads, o, d, bt_q, bi_q)
     rec_m = _media_record(scene.media, o, d, bt_m, bi_m)
+    rec_e = (_ellipsoid_record(scene.ellipsoids, o, d, time, bt_e, bi_e)
+             if has_ell else rec_s)
 
     def pick(i):
+        def sel(f, a, b):
+            return jnp.where(f[(...,) + (None,) * (a.ndim - 1)], a, b)
+
         return tuple(
-            jnp.where(
-                (fam == 0)[(...,) + (None,) * (s.ndim - 1)], s,
-                jnp.where((fam == 1)[(...,) + (None,) * (s.ndim - 1)], q_, m_),
-            )
-            for s, q_, m_ in zip(rec_s, rec_q, rec_m)
+            sel(fam == 0, s, sel(fam == 1, q_, sel(fam == 2, m_, e_)))
+            for s, q_, m_, e_ in zip(rec_s, rec_q, rec_m, rec_e)
         )[i]
 
     point, normal, front, uv, mat = (pick(i) for i in range(5))

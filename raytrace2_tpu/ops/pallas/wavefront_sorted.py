@@ -63,16 +63,17 @@ _STATE_KEYS = ("s_lane", "pid", "bn", "al", "ox", "oy", "oz",
 SORT_SUBLANES = 24
 # Two-phase schedule defaults (overridable via features mega_k_bounces /
 # mega_tail_k / mega_tail_frac; see trace_wavefront_batch docstring).
-# Swept on-chip (book2 600^2 @ 32 spp, docs/STATUS_R4.md): single-phase
-# K=16 4.49 Mpaths/s; K=1 phase-1 with a K=16 tail peaks 5.6-5.75 around
-# tail_frac 0.5-0.65 (+25%) — K=1 waves only pay while regeneration keeps
-# them camera-coherent; the straggler tail needs big launches.
-K_BOUNCES = 1
+# Swept on-chip (book2 600^2; r4 @32 spp, r5 @64 spp, docs/STATUS_R5.md):
+# single-phase K=16 4.49 Mpaths/s; K=1 waves + K=16 tail 6.43/6.46;
+# K=2 waves (sort per launch — sort+fixed cost amortized over two
+# bounces while regeneration keeps waves camera-coherent) 6.54/6.62 —
+# reproducibly best across reps. The straggler tail needs big launches.
+K_BOUNCES = 2
 TAIL_K = 16
 TAIL_FRAC = 0.65
-SORT_EVERY = 2  # interleaved A/B medians (book2): every-1 5.34, every-2
-#                 5.53, every-3 5.58 Mpaths/s — cadence 2 keeps most of the
-#                 coherence at half the sort cost
+SORT_EVERY = 1  # with K=2 waves each launch re-sorts (coherence decays
+#                 inside the 2-bounce launch; a further cadence halving
+#                 measured worse)
 SORT_IMPL = "gather"  # "gather": argsort + packed row-gather;
 #                       "multi": one 18-operand lax.sort (A/B knob —
 #                       features mega_sort_impl; images bitwise-identical:

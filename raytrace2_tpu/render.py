@@ -105,11 +105,14 @@ class Renderer:
         # the compacted XLA loop on v5e; everything else uses XLA.
         from raytrace2_tpu.ops.pallas import megakernel as mk
 
-        ms = features["mega_sizes"]
+        # mega_sizes is None for megakernel-ineligible scene content
+        # (ellipsoids — r5); those route to the XLA path whatever the
+        # requested backend.
+        ms = features["mega_sizes"] or (0,) * 6
         n_records = ms[0] + ms[1] + ms[4] + ms[5]  # spheres+plain quads+media+boxes
         ceiling = (mk.MAX_SMEM_RECORDS if self.max_records is None
                    else self.max_records)
-        eligible = n_records <= ceiling
+        eligible = features["mega_sizes"] is not None and n_records <= ceiling
         features["use_megakernel"] = self.backend in ("mega", "wavefront") or (
             self.backend == "auto"
             and eligible

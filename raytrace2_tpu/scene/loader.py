@@ -537,6 +537,9 @@ class _Flattener:
     # kernel can sweep the plain prefix only).
     aaboxes: list = dataclasses.field(default_factory=list)
     aabox_quads: list = dataclasses.field(default_factory=list)
+    # Spheres under non-similarity transforms (non-uniform scale/shear):
+    # carried un-baked with the inverse affine (schema.Ellipsoids).
+    ellipsoids: list = dataclasses.field(default_factory=list)
 
     def emit(self, prim_idx: int, xform: np.ndarray | None) -> None:
         if prim_idx < 0 or prim_idx >= len(self.prims):
@@ -552,10 +555,23 @@ class _Flattener:
         if p.kind == "sphere":
             ok, s = _is_similarity(a3)
             if not ok:
-                raise SceneError(
-                    "non-uniform-scaled sphere transforms are not representable as "
-                    "baked spheres (no reference scene uses them)"
+                # Non-similarity affine (non-uniform scale / shear):
+                # un-bakeable — carry the model-space sphere + inverse
+                # affine as an ELLIPSOID record (TransformedHittable over
+                # a sphere, src/cpu_raytrace/Transform.cpp:75-88; the
+                # normal transform is transpose(inverse(model)),
+                # Transform.cpp:38).
+                self.ellipsoids.append(
+                    (
+                        p.params["center"],
+                        p.params["displacement"],
+                        p.params["radius"],
+                        _invert_affine(m4),
+                        np.linalg.inv(a3).T,
+                        p.material,
+                    )
                 )
+                return
             self.spheres.append(
                 (
                     a3 @ p.params["center"] + t3,
@@ -834,6 +850,13 @@ def flatten(desc: SceneDesc, seed: int = 0, pad: bool = True) -> schema.FlatScen
         focus_dist=defs.REAL(desc.camera["focus_distance"]),
     )
 
+    ellipsoids = None
+    if fl.ellipsoids:
+        e_c0, e_dp, e_rad, e_inv, e_invt, e_mat = zip(*fl.ellipsoids)
+        ellipsoids = schema.make_ellipsoids(
+            np.array(e_c0), np.array(e_dp), np.array(e_rad),
+            np.array(e_inv), np.array(e_invt), np.array(e_mat))
+
     return schema.FlatScene(
         spheres=spheres,
         quads=quads,
@@ -843,6 +866,7 @@ def flatten(desc: SceneDesc, seed: int = 0, pad: bool = True) -> schema.FlatScen
         textures=textures,
         camera=cam,
         background=np.asarray(desc.background, defs.REAL),
+        ellipsoids=ellipsoids,
     )
 
 

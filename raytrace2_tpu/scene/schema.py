@@ -153,6 +153,67 @@ class Media:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class Ellipsoids:
+    """Spheres under a NON-similarity affine (the reference's
+    TransformedHittable over a sphere with non-uniform scale/shear,
+    src/cpu_raytrace/Transform.cpp:75-88 — authorable via scene-graph
+    node scales, make_scene.py add_node). The model-space sphere keeps
+    the reference sphere parameterization (moving center + radius,
+    Sphere.hpp:15-29); the record carries the world→model inverse affine
+    and the inverse-transpose linear part for normals (Transform.cpp:38
+    normal_mat). The model direction is NOT renormalized, so the model-
+    space hit parameter IS the world-space t (affine maps preserve the
+    ray parameter) — same true-world-t convention as the baked
+    similarity spheres (the reference leaves t in model units, one of
+    its known scaled-instance quirks)."""
+
+    center0: Any       # [E,3] model-space center at shutter t=0
+    displacement: Any  # [E,3] model-space center displacement
+    radius: Any        # [E]
+    inv_model: Any     # [E,3,4] world→model affine
+    inv_t: Any         # [E,3,3] inverse-transpose linear part (normals)
+    material: Any      # [E] i32
+    active: Any        # [E] bool
+
+    @property
+    def count(self) -> int:
+        return self.radius.shape[0]
+
+
+def make_ellipsoids(center0, displacement, radius, inv_model, inv_t,
+                    material) -> "Ellipsoids":
+    center0 = np.asarray(center0, defs.REAL).reshape(-1, 3)
+    n = center0.shape[0]
+    target = max(n, 1)
+    active = np.zeros(target, bool)
+    active[:n] = True
+    ident34 = np.hstack([np.eye(3), np.zeros((3, 1))])[None]
+    return Ellipsoids(
+        center0=_pad(center0, target),
+        displacement=_pad(
+            np.asarray(displacement, defs.REAL).reshape(-1, 3), target),
+        radius=_pad(np.asarray(radius, defs.REAL).reshape(-1), target),
+        inv_model=np.concatenate(
+            [np.asarray(inv_model, defs.REAL).reshape(-1, 3, 4),
+             np.tile(ident34.astype(defs.REAL), (target - n, 1, 1))]
+        ) if n else np.tile(ident34.astype(defs.REAL), (target, 1, 1)),
+        inv_t=np.concatenate(
+            [np.asarray(inv_t, defs.REAL).reshape(-1, 3, 3),
+             np.tile(np.eye(3, dtype=defs.REAL)[None], (target - n, 1, 1))]
+        ) if n else np.tile(np.eye(3, dtype=defs.REAL)[None], (target, 1, 1)),
+        material=_pad(np.asarray(material, defs.INDEX).reshape(-1), target),
+        active=active,
+    )
+
+
+def empty_ellipsoids() -> "Ellipsoids":
+    return make_ellipsoids(
+        np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,)),
+        np.zeros((0, 3, 4)), np.zeros((0, 3, 3)), np.zeros((0,), np.int32))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class Materials:
     """One row per material: type id + packed params
     (reference variant: src/cpu_raytrace/Fwd.hpp:13-14, Material.hpp:31-65).
@@ -229,6 +290,10 @@ class FlatScene:
     # production form of the reference's App-level BVH wrap
     # (src/App.cpp:126). None when the dense sweep / megakernel is used.
     sphere_bvh: Any = None
+    # Spheres under non-similarity transforms (see Ellipsoids). None for
+    # every corpus scene; scenes carrying them render on the XLA path
+    # (features() withholds mega_sizes).
+    ellipsoids: Any = None
 
     @property
     def num_records(self) -> int:
@@ -257,8 +322,11 @@ class FlatScene:
 
             return max((depth(i) for i in range(len(ttypes))), default=0)
 
+        has_ell = (self.ellipsoids is not None
+                   and bool(np.any(np.asarray(self.ellipsoids.active))))
         return {
             "has_media": bool(np.any(np.asarray(self.media.active))),
+            "has_ellipsoids": has_ell,
             "has_noise": bool(np.any(ttypes == 2)),    # defs.TEX_NOISE
             "has_checker": checker_depth(),            # nesting depth (int)
             # Texture rows that carry Perlin tables, in nslot order (the
@@ -269,7 +337,9 @@ class FlatScene:
             # box-derived quads sit AFTER the plain quads, so the kernel's
             # quad sweep covers the first (active_quads - 6·n_boxes) rows
             # and the box family covers the rest via slab tests.
-            "mega_sizes": (
+            # Ellipsoid scenes render on the XLA path (no kernel family
+            # yet; mega_sizes=None routes every megakernel gate away).
+            "mega_sizes": None if has_ell else (
                 int(np.asarray(self.spheres.active).sum()),
                 int(np.asarray(self.quads.active).sum())
                 - 6 * int(np.asarray(self.boxes.active).sum()),
