@@ -137,7 +137,10 @@ class Renderer:
         # traversal O(rays x log) — the production home of the reference's
         # App-level BVH wrap (src/App.cpp:126, BVH.cpp:50-55). 'bvh' forces
         # it for any sphere count.
-        n_sph_active = ms[0]
+        # From the scene, not ms: the mega_sizes=None (ellipsoid) route
+        # zeroes ms, but a sphere-heavy XLA scene still wants its BVH.
+        import numpy as _np
+        n_sph_active = int(_np.asarray(self.scene.spheres.active).sum())
         use_bvh = self.backend == "bvh" or (
             not features["use_megakernel"]
             and self.backend in ("auto", "xla")
