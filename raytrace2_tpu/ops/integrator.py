@@ -426,6 +426,8 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
                 tail_frac=float(features.get("mega_tail_frac",
                                              wf.TAIL_FRAC)),
                 tail_compact=bool(features.get("mega_tail_compact", False)),
+                state_packed=bool(features.get("mega_state_packed",
+                                               wf.STATE_PACKED)),
             )
         radiance = mkg.trace_megakernel_batch_diff(
             camv, jnp.asarray(seed, jnp.int32), tables, scene.background,
@@ -446,6 +448,8 @@ def _render_batch_megakernel(scene, features, width, height, sample0,
             tail_frac=float(features.get("mega_tail_frac", wf.TAIL_FRAC)),
             tail_compact=bool(features.get("mega_tail_compact", False)),
             sort_impl=str(features.get("mega_sort_impl", wf.SORT_IMPL)),
+            state_packed=bool(features.get("mega_state_packed",
+                                           wf.STATE_PACKED)),
             ntab=ntab, mtab=mtab, **kernel_kw,
         )
     else:

@@ -77,7 +77,22 @@ SORT_EVERY = 1  # with K=2 waves each launch re-sorts (coherence decays
 SORT_IMPL = "gather"  # "gather": argsort + packed row-gather;
 #                       "multi": one 18-operand lax.sort (A/B knob —
 #                       features mega_sort_impl; images bitwise-identical:
-#                       jnp.argsort and lax.sort are both stable)
+#                       jnp.argsort and lax.sort are both stable);
+#                       "gather_unstable": argsort without the index
+#                       tiebreak — also bitwise-identical (any permutation
+#                       is; see do_sort) and measured NEUTRAL on book2
+#                       (6.41-6.54 vs 6.14-6.34 stable, inside run spread:
+#                       XLA argsort carries the iota operand either way)
+STATE_PACKED = False  # ship the 17 state columns as ONE [17, rows, 128]
+#                       operand pair instead of 17+17 separate blocks
+#                       (A/B knob — features mega_state_packed; bitwise-
+#                       identical images, see build_step docstring).
+#                       Measured NEUTRAL on book2 600^2 spp64 (interleaved
+#                       reps: split 6.01-6.39, packed 5.94-6.54 Mpaths/s —
+#                       inside the ±0.5 tunnel spread): Mosaic already
+#                       overlaps the 34 block-DMA streams with compute, so
+#                       the ~5.5 ms/launch nosweep floor is NOT DMA-start
+#                       bound. Kept off; the knob documents the experiment.
 
 
 class _View:
@@ -294,18 +309,56 @@ def pack_smem_operand(camv, background, tables):
     return jnp.concatenate(pieces), offsets, pieces[0].shape[0]
 
 
+class _PackedStateRef:
+    """Field-indexed view over the packed [17, sublanes, LANES] state block:
+    ``view[...]`` reads field ``idx`` (so _bounce_step_kernel's per-field
+    ``r[...]`` unpacking works unchanged on the packed operand)."""
+
+    __slots__ = ("ref", "idx")
+
+    def __init__(self, ref, idx):
+        self.ref = ref
+        self.idx = idx
+
+    def __getitem__(self, _):
+        return self.ref[self.idx]
+
+    def __setitem__(self, _, val):
+        self.ref[self.idx] = val
+
+
 def build_step(offsets, n_camv, *, n_rays, sublanes, with_ntab, interpret,
-               kern_kw, with_mtab=False):
+               kern_kw, with_mtab=False, state_packed=False):
     """The K-bounce pallas_call over the sorted state tiles.
 
     Call as ``step(packed, seedi, [ntab,] *state_2d)`` with each state leaf
-    reshaped [rows, LANES]; returns the advanced 17-tuple."""
+    reshaped [rows, LANES]; returns the advanced 17-tuple. With
+    ``state_packed`` the state travels as ONE [17, rows, LANES] array in
+    and one out (``step(packed, seedi, [ntab,] state_3d)``): 2 block-DMA
+    streams per grid step instead of 34 — the per-grid-step DMA-start
+    latency of 17 tiny separate in/out blocks is most of the wavefront's
+    measured ~5.5 ms/launch "nosweep" floor (docs/profile_book2_r4_ladder).
+    Pure layout: lane arithmetic and images are bitwise identical."""
     tile_r = sublanes * mk.LANES
     grid = n_rays // tile_r
     rows = n_rays // mk.LANES
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec((sublanes, mk.LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    n_state = len(_STATE_KEYS)
+    if state_packed:
+        state_in_specs = [pl.BlockSpec((n_state, sublanes, mk.LANES),
+                                       lambda i: (0, i, 0),
+                                       memory_space=pltpu.VMEM)]
+        state_out_specs = state_in_specs[0]
+        out_shape = jax.ShapeDtypeStruct((n_state, rows, mk.LANES),
+                                         jnp.float32)
+    else:
+        ray_spec = pl.BlockSpec((sublanes, mk.LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        state_in_specs = [ray_spec] * n_state
+        state_out_specs = tuple(ray_spec for _ in _STATE_KEYS)
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((rows, mk.LANES), jnp.float32)
+            for _ in _STATE_KEYS)
 
     def kern(packed_ref, seedi_ref, *rest):
         camv_v = _View(packed_ref, 0)
@@ -320,10 +373,16 @@ def build_step(offsets, n_camv, *, n_rays, sublanes, with_ntab, interpret,
         mtab_r = None
         if with_mtab:
             mtab_r, rest = rest[0], rest[1:]
-        n_state = len(_STATE_KEYS)
+        if state_packed:
+            st_in, st_out = rest
+            refs_in = tuple(_PackedStateRef(st_in, k) for k in range(n_state))
+            refs_out = tuple(_PackedStateRef(st_out, k) for k in range(n_state))
+        else:
+            refs_in = rest[:n_state]
+            refs_out = rest[n_state:]
         _bounce_step_kernel(
-            (camv_v, seedi_ref, bg_v, *tdicts, *rest[:n_state]),
-            rest[n_state:], ntab_ref=ntab_r, mtab_ref=mtab_r, **kern_kw)
+            (camv_v, seedi_ref, bg_v, *tdicts, *refs_in),
+            refs_out, ntab_ref=ntab_r, mtab_ref=mtab_r, **kern_kw)
 
     ntab_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] if with_ntab else [])
@@ -332,11 +391,9 @@ def build_step(offsets, n_camv, *, n_rays, sublanes, with_ntab, interpret,
     return pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[smem_spec] * 2 + ntab_specs + [ray_spec] * len(_STATE_KEYS),
-        out_specs=tuple(ray_spec for _ in _STATE_KEYS),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((rows, mk.LANES), jnp.float32)
-            for _ in _STATE_KEYS),
+        in_specs=[smem_spec] * 2 + ntab_specs + state_in_specs,
+        out_specs=state_out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -363,7 +420,7 @@ def init_wavefront_state(n_rays, camv):
     static_argnames=("n_rays", "max_depth", "has_checker", "has_noise",
                      "sizes", "interpret", "sublanes", "sort_every",
                      "k_bounces", "key_mode", "tail_k", "tail_frac",
-                     "tail_compact", "sort_impl"),
+                     "tail_compact", "sort_impl", "state_packed"),
 )
 def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                           max_depth, has_checker, has_noise=False,
@@ -372,7 +429,7 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
                           k_bounces=1, ntab=None, key_mode="pos",
                           tail_k=None, tail_frac=0.0,
                           tail_compact=False, mtab=None,
-                          sort_impl="gather"):
+                          sort_impl="gather", state_packed=STATE_PACKED):
     """Drop-in for megakernel.trace_megakernel_batch (linear slot layout
     ONLY: slot i == pixel camv[25]+i). Returns radiance-sum [n_rays, 3].
 
@@ -411,7 +468,8 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
     def make_step(k):
         return build_step(offsets, n_camv, n_rays=n_rays, sublanes=sublanes,
                           with_ntab=with_ntab, interpret=interpret,
-                          kern_kw=make_kern_kw(k), with_mtab=with_mtab)
+                          kern_kw=make_kern_kw(k), with_mtab=with_mtab,
+                          state_packed=state_packed)
 
     camv = jnp.asarray(camv, jnp.float32)
     seedi = jnp.asarray(seedi, jnp.int32).reshape(1)
@@ -433,8 +491,11 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
         # Default: argsort + row-gather of ONE packed [n, 17] array (a
         # multi-array gather inside while_loop lowers to a slow serialized
         # form, ~60 ms/step measured; the packed row gather runs at HBM
-        # bandwidth).
-        perm = jnp.argsort(keys)
+        # bandwidth). Unstable sort ("gather_unstable"): any permutation
+        # with equal keys grouped yields the bitwise-identical image
+        # (per-lane math is keyed by pixel id, and each pixel owns exactly
+        # one slot), so the comparator can drop the index tiebreak.
+        perm = jnp.argsort(keys, stable=(sort_impl != "gather_unstable"))
         pk = jnp.stack([state[k] for k in _STATE_KEYS], axis=1)
         pk = pk[perm]
         return {k: pk[:, i] for i, k in enumerate(_STATE_KEYS)}
@@ -453,11 +514,18 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
             ops = (jnp.asarray(ntab, jnp.float32),) if with_ntab else ()
             if with_mtab:
                 ops = ops + (jnp.asarray(mtab, jnp.float32),)
-            outs = step(packed, seedi, *ops,
-                        *(state[k].reshape(rows_n, mk.LANES)
-                          for k in _STATE_KEYS))
-            state = {k: v.reshape(n)
-                     for k, v in zip(_STATE_KEYS, outs)}
+            if state_packed:
+                st3 = jnp.stack([state[k].reshape(rows_n, mk.LANES)
+                                 for k in _STATE_KEYS])
+                outs = step(packed, seedi, *ops, st3)
+                state = {k: outs[i_].reshape(n)
+                         for i_, k in enumerate(_STATE_KEYS)}
+            else:
+                outs = step(packed, seedi, *ops,
+                            *(state[k].reshape(rows_n, mk.LANES)
+                              for k in _STATE_KEYS))
+                state = {k: v.reshape(n)
+                         for k, v in zip(_STATE_KEYS, outs)}
             return state, i + 1
         return body
 
@@ -485,7 +553,8 @@ def trace_wavefront_batch(camv, seedi, tables, background, *, n_rays,
             step_t = build_step(
                 offsets, n_camv, n_rays=n_tail, sublanes=sublanes,
                 with_ntab=with_ntab, interpret=interpret,
-                kern_kw=make_kern_kw(tail_k), with_mtab=with_mtab)
+                kern_kw=make_kern_kw(tail_k), with_mtab=with_mtab,
+                state_packed=state_packed)
 
             head, _ = jax.lax.while_loop(
                 lambda c: runnable_count(c[0]) > 0,

@@ -80,6 +80,24 @@ def test_wavefront_sublanes_bitwise(data_dir, sublanes):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("kw", [
+    dict(mega_state_packed=True),
+    dict(mega_state_packed=True, mega_k_bounces=1, mega_tail_k=16,
+         mega_tail_frac=0.5, mega_tail_compact=True),
+    dict(mega_sort_impl="gather_unstable"),
+])
+def test_wavefront_layout_knobs_bitwise(data_dir, kw):
+    """The measured-neutral A/B knobs — packed [17, rows, 128] state
+    operand (mega_state_packed) and tiebreak-free argsort
+    (mega_sort_impl=gather_unstable) — are pure layout/permutation
+    choices: bitwise equal to the production wavefront config."""
+    scene_host, _ = loader.load_scene(f"{data_dir}/cornell_box_original.json")
+    scene = schema.to_device(scene_host)
+    a = _render(scene_host, scene, 24, 16, 2, 6, mega_wavefront=True)
+    b = _render(scene_host, scene, 24, 16, 2, 6, mega_wavefront=True, **kw)
+    np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.slow
 def test_wavefront_bitwise_equals_v4_book2(data_dir):
     """Full feature surface: boxes, media, noise, moving sphere, lights."""

@@ -42,6 +42,9 @@ def main():
                     help="runnable-population fraction switching to phase 2")
     ap.add_argument("--sort-impl", default="gather",
                     help="gather | multi (comma list)")
+    ap.add_argument("--state-packed", default="0",
+                    help="0 | 1 (comma list): one [17,rows,128] state "
+                         "operand pair vs 17+17 separate blocks")
     ap.add_argument("--out", default=None, help="JSONL results file")
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode (CPU smoke test only)")
@@ -72,12 +75,14 @@ def main():
         [int(x) for x in args.tail_k.split(",")],
         [float(x) for x in args.tail_frac.split(",")],
         args.sort_impl.split(","),
+        [int(x) for x in args.state_packed.split(",")],
     ))
     results = []
-    for key_mode, kb, se, sl, tk, tf, si in combos:
+    for key_mode, kb, se, sl, tk, tf, si, sp in combos:
         feat = dict(base, mega_sort_key=key_mode, mega_k_bounces=kb,
                     mega_sort_every=se, mega_sublanes=sl,
-                    mega_tail_k=tk, mega_tail_frac=tf, mega_sort_impl=si)
+                    mega_tail_k=tk, mega_tail_frac=tf, mega_sort_impl=si,
+                    mega_state_packed=bool(sp))
         run(feat, 1)  # compile
         t0 = time.perf_counter()
         r = run(feat, args.spp)
@@ -85,7 +90,7 @@ def main():
         mps = args.spp * W * H / dt / 1e6
         rec = {"key": key_mode, "k_bounces": kb, "sort_every": se,
                "sublanes": sl, "tail_k": tk, "tail_frac": tf,
-               "sort_impl": si,
+               "sort_impl": si, "state_packed": sp,
                "mpaths_s": round(mps, 3),
                "mean": float(r.mean() / args.spp)}
         results.append(rec)
